@@ -1,0 +1,146 @@
+package graft.build
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+import graft.core.sketch.{Bloom, InterleavedBloom}
+import graft.spark.GraftFunctions
+
+/** Shingling + filter-sizing parameters (role of ganon's IBFConfig,
+  * src/utils/include/utils/IBFConfig.hpp:5-41). */
+final case class IbfParams(
+    k: Int = 19,
+    w: Int = 19,
+    seed: Long = Hashing.DefaultSeed,
+    maxFp: Double = 0.01,
+    hllP: Int = 14,
+    minContentLen: Int = 0)
+
+/** Driver-side sizing result (role of ganon's optimal_hashes planner,
+  * src/ganon-build/GanonBuild.cpp:428-616). */
+final case class IbfPlan(
+    numBins: Int,
+    bitsPerBin: Long,
+    numHashes: Int,
+    maxBinHashes: Long,
+    expectedMaxFp: Double)
+
+/**
+ * The broadcastable sketch database: interleaved Bloom + bin metadata
+ * (role of ganon's serialized (IBFConfig, hashes_count, bin_map, ibf) —
+ * src/ganon-build/GanonBuild.cpp:251-288).
+ */
+final class SketchDb(
+    val ibf: InterleavedBloom,
+    val targets: Array[String],       // bin index -> target name
+    val targetHashes: Array[Long],    // bin index -> estimated distinct hashes
+    val params: IbfParams,
+    val plan: IbfPlan) extends Serializable {
+
+  @transient lazy val targetIndex: Map[String, Int] = targets.zipWithIndex.toMap
+
+  /** Per-bin expected single-probe FPR given its load. */
+  def binFpr(bin: Int): Double =
+    Bloom.falsePositiveRate(plan.bitsPerBin, plan.numHashes, targetHashes(bin))
+
+  def sizeBytes: Long = ibf.sizeBytes
+}
+
+/**
+ * Two-pass distributed build (Spark shape of ganon-build's two thread
+ * pools, src/ganon-build/GanonBuild.cpp:752-921):
+ *
+ *   pass 1  groupBy(target).agg(hll(shingles))  -> per-bin cardinalities
+ *   driver  size (bitsPerBin, numHashes) under the maxFp budget
+ *   pass 2  groupBy(target).agg(bloom(shingles)) -> per-bin Bloom bitsets
+ *   driver  interleave bins into the broadcastable IBF
+ *
+ * Both passes are map-side partial-aggregated (sketch merge is
+ * associative), so mega-target skew costs no shuffle blowup: each task
+ * ships one partial sketch per (target x partition), not one row per hash.
+ *
+ * Checkpointing: with `checkpointDir`, each pass persists its result
+ * parquet and is skipped on re-run (resumability per the north rule;
+ * role of ganon's save_state markers, src/ganon/util.py:138-143).
+ */
+object SketchBuild {
+
+  /** Pass-1 result: (target, n_hashes estimate). */
+  def targetCardinalities(df: DataFrame, targetCol: String, contentCol: String,
+      p: IbfParams): DataFrame = {
+    val base =
+      if (p.minContentLen > 0) df.filter(length(col(contentCol)) >= p.minContentLen)
+      else df
+    base
+      .select(col(targetCol).as("target"),
+        GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
+      .groupBy("target")
+      .agg(GraftFunctions.hllCount(col("hs"), p.hllP).as("n_hashes"))
+  }
+
+  /** Driver-side sizing: one (m,h) for all bins, sized for the largest bin
+    * so every bin's FPR <= maxFp (ganon "max" mode). */
+  def plan(cards: Seq[(String, Long)], p: IbfParams): IbfPlan = {
+    require(cards.nonEmpty, "no targets to build")
+    // 5% headroom over the HLL estimate (its 1.04/sqrt(m) error could
+    // otherwise undersize the filter and break the FP budget)
+    val maxN = math.max(1L, (cards.map(_._2).max * 1.05).toLong)
+    val m = Bloom.optimalBits(maxN, p.maxFp)
+    val h = math.min(16, Bloom.optimalHashes(m, maxN))
+    IbfPlan(cards.length, m, h, maxN, Bloom.falsePositiveRate(m, h, maxN))
+  }
+
+  def build(spark: SparkSession, df: DataFrame, targetCol: String,
+      contentCol: String, p: IbfParams = IbfParams(),
+      checkpointDir: Option[String] = None): SketchDb = {
+    import spark.implicits._
+
+    // ---- pass 1 (or resume) ----
+    val cardsDf = checkpointed(spark, checkpointDir, "pass1_cardinalities") {
+      targetCardinalities(df, targetCol, contentCol, p)
+    }
+    val cards = cardsDf.as[(String, Long)].collect().sortBy(_._1).toSeq
+    val thePlan = plan(cards, p)
+
+    // ---- pass 2 (or resume) ----
+    val binsDf = checkpointed(spark, checkpointDir, "pass2_bloom_bins") {
+      val base =
+        if (p.minContentLen > 0) df.filter(length(col(contentCol)) >= p.minContentLen)
+        else df
+      base
+        .select(col(targetCol).as("target"),
+          GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
+        .groupBy("target")
+        .agg(GraftFunctions.bloomSketch(col("hs"),
+          thePlan.bitsPerBin, thePlan.numHashes).as("bloom"))
+    }
+    assemble(binsDf, cards, p, thePlan)
+  }
+
+  /** Interleave collected per-bin blooms; bin order = sorted target names
+    * (deterministic bin ids across runs & partitionings). */
+  def assemble(binsDf: DataFrame, cards: Seq[(String, Long)], p: IbfParams,
+      thePlan: IbfPlan): SketchDb = {
+    val targets = cards.map(_._1).toArray
+    val index = targets.zipWithIndex.toMap
+    val counts = cards.map(_._2).toArray
+    val bins = binsDf.collect().map { r =>
+      (index(r.getString(0)), Bloom.fromBytes(r.getAs[Array[Byte]](1)))
+    }.toSeq
+    val ibf = InterleavedBloom.fromBins(bins, targets.length)
+    new SketchDb(ibf, targets, counts, p, thePlan)
+  }
+
+  private def checkpointed(spark: SparkSession, dir: Option[String],
+      stage: String)(make: => DataFrame): DataFrame = dir match {
+    case None => make
+    case Some(d) =>
+      val path = s"$d/$stage"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val ok = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+      if (!fs.exists(ok)) make.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.classify
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.SketchDb
+import graft.core.{Hashing, Lca, MathFns}
+
+/** Per-read thresholds — same semantics & defaults as the reference
+  * (rel-cutoff GanonClassify.cpp:492-495/:718-724, rel-filter :756-762,
+  * fpr-query :497-501, counter clamp :45-49/:674, defaults
+  * src/ganon/config.py:597-613). */
+final case class ClassifyParams(
+    relCutoff: Double = 0.25,
+    relFilter: Double = 1.0,    // 1.0 = keep all surviving matches
+    fprQuery: Double = 1e-5,
+    maxHashesPerRead: Int = 65535, // uint16 counter-overflow skip semantics
+    minLen: Int = 0)
+
+final case class MatchRow(target: String, count: Int)
+
+/** One read's classification result: the `.all` matches plus the resolved
+  * `.one` assignment (unique target or LCA node). */
+final case class ReadResult(
+    read_id: String,
+    n_hashes: Int,
+    matches: Array[MatchRow],
+    assignment: String,  // null if unclassified
+    unique: Boolean,
+    skipped: Boolean)
+
+/**
+ * The classify query: broadcast-probe of every read's shingle set against
+ * the interleaved Bloom sketch — Spark shape of ganon-classify's per-read
+ * loop (src/ganon-classify/GanonClassify.cpp:630-832). The probe is
+ * map-side-only against the broadcast db; because all of a read's matches
+ * materialize inside one task, rel-filter / fpr-query / unique-vs-LCA
+ * resolution run per-row with ZERO shuffles — the first exchange in the
+ * whole classify plan is the report aggregation.
+ */
+object Classify {
+
+  /**
+   * Classify `reads` (columns idCol, contentCol) against `db`.
+   * Returns the per-read results dataset (one row per read).
+   */
+  def classify(spark: SparkSession, reads: DataFrame, idCol: String,
+      contentCol: String, db: SketchDb, cp: ClassifyParams = ClassifyParams(),
+      lcaOpt: Option[Lca] = None): Dataset[ReadResult] = {
+    import spark.implicits._
+    val dbB = spark.sparkContext.broadcast(db)
+    val lcaB = spark.sparkContext.broadcast(lcaOpt)
+
+    val k = db.params.k; val w = db.params.w; val seed = db.params.seed
+    reads
+      .select(col(idCol).cast("string").as("read_id"),
+        col(contentCol).as("content"))
+      .as[(String, String)]
+      .mapPartitions { iter =>
+        val d = dbB.value
+        val lca = lcaB.value
+        val counts = new Array[Int](d.targets.length)
+        iter.map { case (id, content) =>
+          classifyOne(id, content, d, cp, lca, k, w, seed, counts)
+        }
+      }
+  }
+
+  private[classify] def classifyOne(id: String, content: String, d: SketchDb,
+      cp: ClassifyParams, lca: Option[Lca], k: Int, w: Int, seed: Long,
+      counts: Array[Int]): ReadResult = {
+    if (content == null || content.length < math.max(cp.minLen, w))
+      return ReadResult(id, 0, Array.empty, null, unique = false, skipped = true)
+    val hs = Hashing.shingles(content, k, w, seed)
+    val n = hs.length
+    if (n == 0 || n > cp.maxHashesPerRead) // counter-overflow skip (uint16 rule)
+      return ReadResult(id, n, Array.empty, null, unique = false, skipped = true)
+
+    java.util.Arrays.fill(counts, 0)
+    d.ibf.bulkCount(hs, counts)
+
+    // rel-cutoff: count >= max(1, ceil(n * relCutoff))
+    val cutoff = math.max(1, math.ceil(n * cp.relCutoff).toInt)
+    var maxC = 0; var minC = Int.MaxValue; var nSurv = 0
+    var b = 0
+    while (b < counts.length) {
+      var c = counts(b)
+      if (c > n) { c = n; counts(b) = n } // split-bin style clamp at n_hashes
+      if (c >= cutoff) {
+        nSurv += 1
+        if (c > maxC) maxC = c
+        if (c < minC) minC = c
+      } else counts(b) = 0
+      b += 1
+    }
+    if (nSurv == 0)
+      return ReadResult(id, n, Array.empty, null, unique = false, skipped = false)
+
+    // rel-filter: keep count >= maxC - ceil((maxC - minC) * relFilter)
+    val relThresh = maxC - math.ceil((maxC - minC) * cp.relFilter).toInt
+    val out = new scala.collection.mutable.ArrayBuffer[MatchRow](nSurv)
+    b = 0
+    while (b < counts.length) {
+      val c = counts(b)
+      if (c > 0 && c >= relThresh) {
+        // fpr-query: discard if P(Binom(n, p_bin) >= c) > fprQuery
+        val q = MathFns.binomTailUpper(n.toLong, c.toLong, d.binFpr(b))
+        if (q <= cp.fprQuery) out += MatchRow(d.targets(b), c)
+      }
+      b += 1
+    }
+    if (out.isEmpty)
+      return ReadResult(id, n, Array.empty, null, unique = false, skipped = false)
+    val matches = out.toArray
+    if (matches.length == 1)
+      ReadResult(id, n, matches, matches(0).target, unique = true, skipped = false)
+    else {
+      val node = lca match {
+        case Some(t) => t.lcaAll(matches.map(_.target).toSeq)
+        case None    => matches.maxBy(m => (m.count, m.target)).target
+      }
+      ReadResult(id, n, matches, node, unique = false, skipped = false)
+    }
+  }
+
+  /** `.all` relation: (read_id, target, kmer_count) — GanonClassify.cpp:1289-1306. */
+  def allMatches(results: Dataset[ReadResult]): DataFrame = {
+    results.toDF()
+      .select(col("read_id"), explode(col("matches")).as("m"))
+      .select(col("read_id"), col("m.target").as("target"),
+        col("m.count").as("kmer_count"))
+  }
+
+  /** `.one` relation: the resolved per-read assignment. */
+  def oneAssignments(results: Dataset[ReadResult]): DataFrame = {
+    results.toDF()
+      .filter(col("assignment").isNotNull)
+      .select(col("read_id"), col("assignment").as("target"),
+        col("unique"), col("n_hashes"))
+  }
+
+  /** `.rep` analog: per-target report (matches, unique reads, lca reads) —
+    * GanonClassify.cpp:834-863. One shuffle (the groupBy). */
+  def report(results: Dataset[ReadResult]): DataFrame = {
+    val spark = results.sparkSession
+    val all = allMatches(results)
+      .groupBy("target").agg(count(lit(1)).as("matches"))
+    val one = oneAssignments(results)
+      .groupBy("target").agg(
+        sum(when(col("unique"), 1L).otherwise(0L)).as("unique_reads"),
+        sum(when(col("unique"), 0L).otherwise(1L)).as("lca_reads"))
+    all.join(one, Seq("target"), "full_outer").na.fill(0L,
+      Seq("matches", "unique_reads", "lca_reads"))
+  }
+
+  /** Unclassified reads (`.unc` analog) — anti-join shape. */
+  def unclassified(results: Dataset[ReadResult]): DataFrame =
+    results.toDF().filter(col("assignment").isNull && !col("skipped"))
+      .select("read_id")
+
+  /**
+   * Hierarchy cascade (GanonClassify.cpp:811-831): classify against each
+   * level's db in order; reads unresolved at level i feed level i+1.
+   * Expressed as an iterative filter on the per-read result dataset —
+   * no anti-join shuffle needed because assignment status is row-local.
+   */
+  def cascade(spark: SparkSession, reads: DataFrame, idCol: String,
+      contentCol: String, levels: Seq[(String, SketchDb)],
+      cp: ClassifyParams = ClassifyParams(),
+      lcaOpt: Option[Lca] = None): DataFrame = {
+    import spark.implicits._
+    var remaining = reads
+    var acc: Option[DataFrame] = None
+    levels.foreach { case (label, db) =>
+      val res = classify(spark, remaining, idCol, contentCol, db, cp, lcaOpt)
+        .persist()
+      val classified = res.toDF().filter(col("assignment").isNotNull)
+        .withColumn("hierarchy", lit(label))
+      acc = Some(acc.map(_.unionByName(classified)).getOrElse(classified))
+      val rest = res.toDF().filter(col("assignment").isNull).select("read_id")
+      remaining = remaining.join(rest,
+        remaining(idCol).cast("string") === rest("read_id"), "left_semi")
+    }
+    acc.getOrElse(spark.emptyDataFrame)
+  }
+}

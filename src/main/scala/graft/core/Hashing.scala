@@ -1,0 +1,140 @@
+package graft.core
+
+/**
+ * Content shingling: fixed-k character k-mers hashed in a tight per-row
+ * inner loop, with optional (w,k)-minimizer selection.
+ *
+ * Capability analog of the reference's minimizer hashing
+ * (ganon: src/ganon-build/GanonBuild.cpp:198-200, seed adjustment
+ * src/utils/include/utils/adjust_seed.hpp:33-37) re-designed for character
+ * content: a Rabin-Karp rolling polynomial hash over UTF-16 code units
+ * (O(1) slide), finalized with a splitmix64 mixer XOR'd with the seed.
+ * Deterministic pure function of (content, k, w, seed).
+ */
+object Hashing {
+
+  /** Same default seed constant family as the reference (adjust_seed.hpp:35). */
+  final val DefaultSeed: Long = 0x8F3F73B5CF1C9ADEL
+
+  private final val Prime: Long = 0x100000001B3L // FNV-1a 64-bit prime as poly base
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mixer (public domain constant set). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    z
+  }
+
+  /** Hash of a single long value (for tokens, keys, salting). */
+  @inline def hashLong(x: Long, seed: Long = DefaultSeed): Long = mix64(x ^ seed)
+
+  /** Hash of a string (token) — polynomial + mix, seed-parameterized. */
+  def hashString(s: String, seed: Long = DefaultSeed): Long = {
+    var h = seed
+    var i = 0
+    val n = s.length
+    while (i < n) { h = h * Prime + s.charAt(i); i += 1 }
+    mix64(h ^ seed)
+  }
+
+  /**
+   * All k-mer hashes of `content` (one per position, length n-k+1).
+   * Rolling: h(i+1) = (h(i) - c_i * P^(k-1)) * P + c_{i+k}; finalized by mix64^seed.
+   */
+  def kmerHashes(content: String, k: Int, seed: Long = DefaultSeed): Array[Long] = {
+    val n = content.length
+    if (n < k || k <= 0) return Array.emptyLongArray
+    val out = new Array[Long](n - k + 1)
+    // P^(k-1) mod 2^64
+    var pk1 = 1L
+    var j = 1
+    while (j < k) { pk1 *= Prime; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Prime + content.charAt(i); i += 1 }
+    out(0) = mix64(h ^ seed)
+    i = k
+    while (i < n) {
+      h = (h - content.charAt(i - k) * pk1) * Prime + content.charAt(i)
+      out(i - k + 1) = mix64(h ^ seed)
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * (w,k)-minimizers: minimum hash in every window of `w` consecutive
+   * characters (= w-k+1 consecutive k-mers), deduplicated & sorted.
+   * w == k degenerates to "all distinct k-mer hashes".
+   * Monotone-deque sliding minimum — O(n).
+   *
+   * Minimum is taken in UNSIGNED 64-bit order (hashes are uniform; the
+   * reference's uint64_t comparison is unsigned — GanonBuild.cpp:41).
+   */
+  def minimizers(content: String, k: Int, w: Int, seed: Long = DefaultSeed): Array[Long] = {
+    require(w >= k, s"window w=$w must be >= k=$k")
+    val hs = kmerHashes(content, k, seed)
+    if (hs.isEmpty) return hs
+    val kmersPerWin = w - k + 1
+    if (kmersPerWin <= 1 || hs.length <= 1) return sortedDistinct(hs)
+    val nWin = hs.length - kmersPerWin + 1
+    if (nWin <= 0) {
+      // content shorter than one full window but >= k: single window = whole content
+      var m = hs(0); var i = 1
+      while (i < hs.length) { if (uLt(hs(i), m)) m = hs(i); i += 1 }
+      return Array(m)
+    }
+    val out = new Array[Long](nWin)
+    val deque = new Array[Int](hs.length) // indices, monotone increasing hash
+    var head = 0; var tail = 0 // [head, tail)
+    var i = 0
+    while (i < hs.length) {
+      while (tail > head && !uLt(hs(deque(tail - 1)), hs(i))) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - kmersPerWin) head += 1
+      if (i >= kmersPerWin - 1) out(i - kmersPerWin + 1) = hs(deque(head))
+      i += 1
+    }
+    sortedDistinct(out)
+  }
+
+  /**
+   * The shingle set of a row: distinct (w,k)-minimizer hashes, sorted
+   * unsigned-ascending. Dedup-before-count discipline of the reference
+   * (GanonBuild.cpp:225-239): hashes count per-row DISTINCT.
+   */
+  def shingles(content: String, k: Int, w: Int, seed: Long = DefaultSeed): Array[Long] =
+    minimizers(content, k, w, seed)
+
+  /** Distinct whitespace-token hashes of a text. */
+  def tokenHashes(text: String, seed: Long = DefaultSeed): Array[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = hashString(toks(i), seed); i += 1 }
+    sortedDistinct(out)
+  }
+
+  @inline private def uLt(a: Long, b: Long): Boolean =
+    (a + Long.MinValue) < (b + Long.MinValue)
+
+  /** Sort (unsigned order) + dedupe in place; returns possibly-shorter array. */
+  def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length <= 1) return a
+    // unsigned sort: flip sign bit, sort signed, flip back
+    var i = 0
+    while (i < a.length) { a(i) ^= Long.MinValue; i += 1 }
+    java.util.Arrays.sort(a)
+    var n = 1
+    i = 1
+    while (i < a.length) {
+      if (a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < n) { a(i) ^= Long.MinValue; i += 1 }
+    if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.core.sketch
+
+import graft.core.Hashing
+
+/**
+ * Interleaved Bloom Filter: B bins × m bits-per-bin, bit-interleaved so one
+ * hash position occupies one contiguous row of words across ALL bins — a
+ * single probe of one hash answers every bin with `numHashes` row-ANDs
+ * (the layout idea of the reference's IBF; role of seqan3's
+ * interleaved_bloom_filter used at src/ganon-classify/GanonClassify.cpp:51-52,
+ * bulk counting at :504-541). Re-designed from scratch for the broadcast-probe
+ * side of the Spark classify path.
+ *
+ * Layout: bins rounded up to a multiple of 64 (`binsRounded`); bit for
+ * (hash position p, bin b) lives at word `p*wordsPerRow + b/64`, bit `b%64`.
+ *
+ * Hash positions use the same double-hashing scheme as [[Bloom]], so a
+ * per-bin Bloom with identical (bitsPerBin, numHashes) interleaves losslessly.
+ */
+final class InterleavedBloom(
+    val numBins: Int,
+    val bitsPerBin: Long,
+    val numHashes: Int,
+    val words: Array[Long]) extends Serializable {
+
+  val binsRounded: Int = ((numBins + 63) / 64) * 64
+  val wordsPerRow: Int = binsRounded / 64
+  require(words.length.toLong == bitsPerBin * wordsPerRow,
+    s"words=${words.length} expected ${bitsPerBin * wordsPerRow}")
+
+  @inline private def rowOf(h1: Long, h2: Long, i: Int): Int = {
+    val x = h1 + i.toLong * h2
+    ((x & Long.MaxValue) % bitsPerBin).toInt
+  }
+
+  def add(hash: Long, bin: Int): Unit = {
+    val h1 = Hashing.mix64(hash)
+    val h2 = Hashing.mix64(hash ^ 0x9E3779B97F4A7C15L) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val row = rowOf(h1, h2, i)
+      words(row * wordsPerRow + (bin >>> 6)) |= (1L << (bin & 63))
+      i += 1
+    }
+  }
+
+  /**
+   * Bulk count: for each bin, how many of `hashes` are (probabilistically)
+   * members. One pass: per hash, AND the numHashes rows into `tmp`, then
+   * popcount-accumulate set bins. `counts` must have length >= numBins.
+   */
+  def bulkCount(hashes: Array[Long], counts: Array[Int]): Unit = {
+    val tmp = new Array[Long](wordsPerRow)
+    var hi = 0
+    while (hi < hashes.length) {
+      val hash = hashes(hi)
+      val h1 = Hashing.mix64(hash)
+      val h2 = Hashing.mix64(hash ^ 0x9E3779B97F4A7C15L) | 1L
+      val off0 = rowOf(h1, h2, 0) * wordsPerRow
+      var w = 0
+      while (w < wordsPerRow) { tmp(w) = words(off0 + w); w += 1 }
+      var i = 1
+      while (i < numHashes) {
+        val off = rowOf(h1, h2, i) * wordsPerRow
+        w = 0
+        while (w < wordsPerRow) { tmp(w) &= words(off + w); w += 1 }
+        i += 1
+      }
+      w = 0
+      while (w < wordsPerRow) {
+        var bits = tmp(w)
+        while (bits != 0L) {
+          val b = java.lang.Long.numberOfTrailingZeros(bits)
+          val bin = (w << 6) + b
+          if (bin < numBins) counts(bin) += 1
+          bits &= bits - 1
+        }
+        w += 1
+      }
+      hi += 1
+    }
+  }
+
+  def bulkCount(hashes: Array[Long]): Array[Int] = {
+    val c = new Array[Int](numBins)
+    bulkCount(hashes, c)
+    c
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(20 + words.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(numBins).putLong(bitsPerBin).putInt(numHashes).putInt(words.length)
+    var i = 0
+    while (i < words.length) { bb.putLong(words(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Approx broadcast footprint in bytes. */
+  def sizeBytes: Long = 20L + words.length.toLong * 8L
+}
+
+object InterleavedBloom {
+  def empty(numBins: Int, bitsPerBin: Long, numHashes: Int): InterleavedBloom = {
+    val binsRounded = ((numBins + 63) / 64) * 64
+    new InterleavedBloom(numBins, bitsPerBin, numHashes,
+      new Array[Long]((bitsPerBin * (binsRounded / 64)).toInt))
+  }
+
+  def fromBytes(bytes: Array[Byte]): InterleavedBloom = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val numBins = bb.getInt(); val bitsPerBin = bb.getLong()
+    val numHashes = bb.getInt(); val n = bb.getInt()
+    val words = new Array[Long](n)
+    var i = 0
+    while (i < n) { words(i) = bb.getLong(); i += 1 }
+    new InterleavedBloom(numBins, bitsPerBin, numHashes, words)
+  }
+
+  /**
+   * Interleave per-bin Blooms (all sharing bitsPerBin & numHashes) into one
+   * probe structure — the assembly step after the distributed
+   * groupBy(bin).agg(bloom) pass.
+   */
+  def fromBins(bins: Seq[(Int, Bloom)], numBins: Int): InterleavedBloom = {
+    require(bins.nonEmpty)
+    val m = bins.head._2.numBits
+    val h = bins.head._2.numHashes
+    val ibf = empty(numBins, m, h)
+    bins.foreach { case (binIdx, bloom) =>
+      require(bloom.numBits == m && bloom.numHashes == h)
+      require(binIdx >= 0 && binIdx < numBins)
+      var p = 0L
+      while (p < m) {
+        if ((bloom.words((p >>> 6).toInt) & (1L << (p & 63))) != 0L) {
+          ibf.words((p * ibf.wordsPerRow + (binIdx >>> 6)).toInt) |= (1L << (binIdx & 63))
+        }
+        p += 1
+      }
+    }
+    ibf
+  }
+}

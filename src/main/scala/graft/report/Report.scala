@@ -1,0 +1,99 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Hierarchical tree report (`.tre` capability of ganon report,
+ * src/ganon/report.py:13-160): cumulative counts up the lineage, rank
+ * percentages, count/percentile filters, deterministic sort.
+ *
+ * The cumulative tree sum (report.py:656-667 walks each target's lineage
+ * to the root) is the idiomatic Spark tree rollup: explode(lineage) then
+ * groupBy(ancestor) — one shuffle over |nodes| keys.
+ */
+object Report {
+
+  /**
+   * @param counts   (node, direct_count) — e.g. per-target read counts
+   * @param lineage  (node, lineage: Array[String]) root-first, inclusive
+   * @return (node, rank_depth, direct, cumulative, cum_perc)
+   */
+  def tree(counts: DataFrame, lineage: DataFrame): DataFrame = {
+    val joined = counts.join(broadcast(lineage), Seq("node"))
+    val total = counts.agg(sum(col("direct_count"))).first().getLong(0).toDouble
+    val cum = joined
+      .select(col("direct_count"), explode(col("lineage")).as("anc"))
+      .groupBy(col("anc").as("node"))
+      .agg(sum(col("direct_count")).as("cumulative"))
+    val depth = lineage.select(col("node"),
+      (size(col("lineage")) - 1).as("rank_depth"))
+    cum
+      .join(counts, Seq("node"), "left")
+      .na.fill(0L, Seq("direct_count"))
+      .join(broadcast(depth), Seq("node"), "left")
+      .withColumn("cum_perc", round(col("cumulative") / lit(total) * 100.0, 5))
+      .select(col("node"), col("rank_depth"),
+        col("direct_count").as("direct"), col("cumulative"), col("cum_perc"))
+      .orderBy(col("rank_depth").asc, col("cumulative").desc, col("node").asc)
+  }
+
+  /** min-count filter with ganon's dual semantics: v < 1 means fraction of
+    * total, v >= 1 absolute count (report.py:766-780). */
+  def minCountFilter(tre: DataFrame, v: Double, total: Long): DataFrame =
+    if (v <= 0) tre
+    else if (v < 1) tre.filter(col("cumulative") >= lit(v * total))
+    else tre.filter(col("cumulative") >= lit(v))
+
+  /** top-percentile per rank (report.py:722-738): keep rows at or above the
+    * ceil(p*n)-th largest percentage within their rank_depth. */
+  def topPercentilePerRank(tre: DataFrame, p: Double): DataFrame = {
+    if (p <= 0 || p >= 1) return tre
+    val w = Window.partitionBy("rank_depth")
+      .orderBy(col("cum_perc").desc, col("node").asc)
+    val n = Window.partitionBy("rank_depth")
+    tre.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(n))
+      .filter(col("rn") <= ceil(col("cnt") * p))
+      .drop("rn", "cnt")
+  }
+}
+
+/**
+ * Multi-sample pivot table (ganon table, src/ganon/table.py:5-129):
+ * samples x nodes matrix of counts or percentages.
+ */
+object Table {
+
+  /** @param rep (sample, node, count) long-form rows. */
+  def pivot(rep: DataFrame, nodes: Seq[String], percentage: Boolean = false): DataFrame = {
+    val base =
+      if (!percentage) rep
+      else {
+        val w = Window.partitionBy("sample")
+        rep.withColumn("count",
+          round(col("count") / sum(col("count")).over(w) * 100.0, 5))
+      }
+    base.groupBy("sample")
+      .pivot("node", nodes)
+      .agg(first(col("count")))
+      .na.fill(0)
+      .orderBy("sample")
+  }
+
+  /** top-k nodes per sample by count (table.py:232-250). */
+  def topKPerSample(rep: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("sample")
+      .orderBy(col("count").desc, col("node").asc)
+    rep.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** keep nodes present in >= m samples (table.py:280-297). */
+  def minFrequency(rep: DataFrame, m: Int): DataFrame = {
+    val freq = rep.groupBy("node")
+      .agg(countDistinct(col("sample")).as("freq"))
+      .filter(col("freq") >= m)
+    rep.join(broadcast(freq.select("node")), Seq("node"), "left_semi")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+import graft.core.{Hashing, MinHash, SimHash}
+import graft.spark.udaf.SketchAggs._
+
+/**
+ * Column-function surface of the engine. The shingle/token hashing runs as
+ * a tight per-row loop (the reference's per-read minimizer hashing,
+ * ganon src/ganon-classify/GanonClassify.cpp:646-650) inside a Scala UDF
+ * returning `Array[Long]` — arrays are folded directly into sketch
+ * aggregation buffers, never exploded row-per-hash.
+ */
+object GraftFunctions {
+
+  // ---- scalar / array functions ----------------------------------------
+
+  val shinglesUdf: UserDefinedFunction =
+    udf((content: String, k: Int, w: Int, seed: Long) =>
+      if (content == null) Array.emptyLongArray else Hashing.shingles(content, k, w, seed))
+
+  def shingles(content: Column, k: Int, w: Int,
+      seed: Long = Hashing.DefaultSeed): Column =
+    shinglesUdf(content, lit(k), lit(w), lit(seed))
+
+  val tokenHashesUdf: UserDefinedFunction =
+    udf((text: String, seed: Long) =>
+      if (text == null) Array.emptyLongArray else Hashing.tokenHashes(text, seed))
+
+  def tokenHashes(text: Column, seed: Long = Hashing.DefaultSeed): Column =
+    tokenHashesUdf(text, lit(seed))
+
+  val hash64Udf: UserDefinedFunction =
+    udf((s: String) => if (s == null) 0L else Hashing.hashString(s))
+
+  def hash64(c: Column): Column = hash64Udf(c)
+
+  /** MinHash signature of a row's shingle set. */
+  def minhashSignature(hashes: Column, numPerms: Int,
+      seed: Long = Hashing.DefaultSeed): Column = {
+    val seeds = MinHash.permSeeds(numPerms, seed)
+    val f = udf((hs: Array[Long]) =>
+      if (hs == null) MinHash.signature(Array.emptyLongArray, seeds)
+      else MinHash.signature(hs, seeds))
+    f(hashes)
+  }
+
+  /** LSH band keys for a MinHash signature. */
+  def lshBandKeys(sig: Column, bands: Int): Column = {
+    val f = udf((s: Array[Long]) => MinHash.bandKeys(s, bands))
+    f(sig)
+  }
+
+  /** 64-bit SimHash of a row's token-hash set. */
+  val simhashUdf: UserDefinedFunction =
+    udf((hs: Array[Long]) => if (hs == null) 0L else SimHash.simhash(hs))
+
+  def simhash(tokenHashes: Column): Column = simhashUdf(tokenHashes)
+
+  // ---- sketch aggregations ---------------------------------------------
+
+  def hllCount(hashes: Column, p: Int = 14): Column =
+    udaf(new HllCountAgg(p)).apply(hashes)
+
+  def hllSketch(hashes: Column, p: Int = 14): Column =
+    udaf(new HllSketchAgg(p)).apply(hashes)
+
+  def bloomSketch(hashes: Column, numBits: Long, numHashes: Int): Column =
+    udaf(new BloomSketchAgg(numBits, numHashes)).apply(hashes)
+
+  def cmsSketch(hashes: Column, depth: Int = 7, width: Int = 8192): Column =
+    udaf(new CmsSketchAgg(depth, width)).apply(hashes)
+
+  def kllSketch(value: Column, k: Int = 256): Column =
+    udaf(new KllSketchAgg(k)).apply(value)
+
+  def kllQuantiles(value: Column, qs: Array[Double], k: Int = 256): Column =
+    udaf(new KllQuantilesAgg(k, qs)).apply(value)
+
+  // ---- SQL registration --------------------------------------------------
+
+  /** Register the engine's functions for spark.sql use. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("graft_shingles", shinglesUdf)
+    spark.udf.register("graft_token_hashes", tokenHashesUdf)
+    spark.udf.register("graft_hash64", hash64Udf)
+    spark.udf.register("graft_simhash", simhashUdf)
+    spark.udf.register("graft_hll_count", udaf(new HllCountAgg(14)))
+    spark.udf.register("graft_hll_sketch", udaf(new HllSketchAgg(14)))
+    spark.udf.register("graft_cms_sketch", udaf(new CmsSketchAgg(7, 8192)))
+    spark.udf.register("graft_kll_sketch", udaf(new KllSketchAgg(256)))
+  }
+}
