@@ -1,13 +1,488 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.build.{IbfParams, SketchBuild}
+import graft.classify.{Classify, ClassifyParams}
+import graft.core.{Hashing, MinHash}
+import graft.ops.{Ann, Dedup, Multimodal, TextStats}
+import graft.report.{Report, Table}
+import graft.spark.GraftFunctions
+
+/**
+ * Driver contract: one `queries` entry per implemented operator
+ * (SURVEY.md §2 + the training-data pipeline layer), with DuckDB-runnable
+ * `oracleSql` for everything SQL-expressible.
+ *
+ * Approximate (sketch) operators are still oracle-checked: the query
+ * computes BOTH the sketch estimate and the exact answer in Spark,
+ * emits the exact value plus `ok = |estimate - exact| within the
+ * algorithm's published bound`, and the oracle recomputes the exact value
+ * and asserts `true` — so a hash match proves the estimate landed within
+ * the bound on exactly the right groups.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: Column): Column =
+    round(c * 100).cast("long")
+
+  /** Flagship: ganon-style classification of documents against lang bins
+    * at sf0.001 — which lang bins does each doc's shingle set hit. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = t(spark, dir, "documents")
+    val db = SketchBuild.build(spark, docs, "lang", "text",
+      IbfParams(k = 8, w = 8, maxFp = 0.001))
+    val res = Classify.classify(spark, docs, "doc_id", "text", db,
+      ClassifyParams(relCutoff = 0.25))
+    Classify.allMatches(res)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact relational operators --------------------------------------
+
+    "q01_pushdown_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q02_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_c"))
+    }),
+
+    "q03_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"))
+    }),
+
+    "q04_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").cast("long").as("doc_id"),
+          col("canonical_id").cast("long").as("canonical_id"),
+          col("dup_count").cast("long").as("dup_count"))
+    }),
+
+    "q05_token_stats" -> ((s, dir) =>
+      TextStats.tokenStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q06_quality_signals" -> ((s, dir) =>
+      TextStats.qualitySignals(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q07_rollup_tree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .groupBy(concat(col("lang"), lit("/"), col("source")).as("node"))
+        .agg(count(lit(1)).as("direct_count"))
+      val lineage = docs.select("lang", "source").distinct()
+        .select(concat(col("lang"), lit("/"), col("source")).as("node"),
+          array(lit("root"), col("lang"),
+            concat(col("lang"), lit("/"), col("source"))).as("lineage"))
+        .union(docs.select(col("lang").as("node"),
+          array(lit("root"), col("lang")).as("lineage")).distinct())
+        .union(s.range(1).select(lit("root").as("node"),
+          array(lit("root")).as("lineage")))
+      Report.tree(counts, lineage)
+        .select(col("node"), col("rank_depth").cast("long").as("rank_depth"),
+          col("direct").cast("long").as("direct"),
+          col("cumulative").cast("long").as("cumulative"))
+    }),
+
+    "q08_pivot" -> ((s, dir) => {
+      val rep = t(s, dir, "documents")
+        .groupBy(col("source").as("sample"), col("lang").as("node"))
+        .agg(count(lit(1)).as("count"))
+      Table.pivot(rep, Seq("de", "en", "es", "fr", "zh"))
+        .select(col("sample"),
+          col("de").cast("long").as("de"), col("en").cast("long").as("en"),
+          col("es").cast("long").as("es"), col("fr").cast("long").as("fr"),
+          col("zh").cast("long").as("zh"))
+    }),
+
+    "q09_anti_join" -> ((s, dir) => {
+      // hierarchy-cascade shape: reads (customers) not classified at this
+      // level (no 'F' order) flow on — the left_anti of Classify.cascade
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+
+    "q10_min_frequency" -> ((s, dir) => {
+      val rep = t(s, dir, "documents")
+        .groupBy(col("source").as("sample"), col("lang").as("node"))
+        .agg(count(lit(1)).as("count"))
+      Table.minFrequency(rep, 20)
+        .select(col("sample"), col("node"), col("count").cast("long").as("count"))
+    }),
+
+    // ---- sketch estimates, bound-checked against exact ------------------
+
+    "q11_hll_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hs = docs.select(col("lang"),
+        GraftFunctions.tokenHashes(col("text")).as("hs"))
+      val est = hs.groupBy("lang")
+        .agg(GraftFunctions.hllCount(col("hs"), 14).as("est"))
+      val exact = docs
+        .select(col("lang"), explode(split(trim(col("text")), " +")).as("tok"))
+        .groupBy("lang").agg(countDistinct(col("tok")).as("n_exact"))
+      val bound = 3 * 1.04 / math.sqrt((1 << 14).toDouble)
+      est.join(exact, Seq("lang"))
+        .select(col("lang"), col("n_exact").cast("long").as("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * bound, lit(1.0))).as("ok"))
+    }),
+
+    "q12_hll_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hashPk = udf((x: Long) => Array(Hashing.hashLong(x)))
+      val est = li.select(col("l_returnflag"), hashPk(col("l_partkey")).as("hs"))
+        .groupBy("l_returnflag")
+        .agg(GraftFunctions.hllCount(col("hs"), 14).as("est"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      val bound = 3 * 1.04 / math.sqrt((1 << 14).toDouble)
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact").cast("long").as("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * bound, lit(1.0))).as("ok"))
+    }),
+
+    "q13_cms_tokens" -> ((s, dir) => {
+      import graft.core.sketch.CountMin
+      val docs = t(s, dir, "documents").cache()
+      val toks = docs.select(explode(split(trim(col("text")), " +")).as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+      // build the CMS distributively over per-row token MULTISET hashes
+      val multiHash = udf((text: String) =>
+        text.split("\\s+").filter(_.nonEmpty).map(Hashing.hashString(_)))
+      val cmsBytes = docs
+        .select(multiHash(col("text")).as("hs"))
+        .agg(GraftFunctions.cmsSketch(col("hs"), 7, 8192).as("cms"))
+        .head().getAs[Array[Byte]](0)
+      val cms = CountMin.fromBytes(cmsBytes)
+      val epsN = cms.eps * cms.total
+      val estOf = udf((tok: String) => cms.estimate(Hashing.hashString(tok)))
+      exact.select(col("tok"), col("exact_cnt").cast("long").as("exact_cnt"),
+        (estOf(col("tok")) >= col("exact_cnt") &&
+          estOf(col("tok")) <= col("exact_cnt") + epsN).as("ok"))
+    }),
+
+    "q14_kll_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice")).cache()
+      val qs = Array(0.1, 0.25, 0.5, 0.75, 0.9)
+      val quants = li.agg(GraftFunctions
+        .kllQuantiles(col("l_extendedprice"), qs, 256).as("v"))
+        .head().getAs[scala.collection.Seq[Double]](0)
+      val n = li.count().toDouble
+      val bound = math.max(1.65 * 2.3 / 256, 10.0 / n)
+      val checks = qs.zip(quants).map { case (q, est) =>
+        val below = li.filter(col("l_extendedprice") <= est).count() / n
+        (q, math.abs(below - q) <= bound)
+      }
+      s.createDataset(checks.toSeq).toDF("q", "ok")
+    }),
+
+    "q15_bloom_bins" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val p = IbfParams(k = 8, w = 8, maxFp = 0.01)
+      val db = SketchBuild.build(s, docs, "lang", "text", p)
+      val dbB = s.sparkContext.broadcast(db)
+      // zero-FN: every doc's shingles fully hit its own lang bin;
+      // FP: probe per-lang with seeded absent hashes, realized <= 2*maxFp
+      val perLang = docs.select(col("lang"), col("text")).as[(String, String)]
+        .mapPartitions { iter =>
+          val d = dbB.value
+          iter.map { case (lang, text) =>
+            val hs = Hashing.shingles(text, p.k, p.w, p.seed)
+            val bin = d.targetIndex(lang)
+            val counts = d.ibf.bulkCount(hs)
+            (lang, counts(bin) == hs.length)
+          }
+        }.toDF("lang", "fn_ok")
+        .groupBy("lang").agg(min(col("fn_ok")).as("zero_fn"))
+      val probes = Array.tabulate(200000)(i => Hashing.hashLong(i + (1L << 41)))
+      val fpOf = udf((lang: String) => {
+        val d = dbB.value
+        val counts = d.ibf.bulkCount(probes)
+        counts(d.targetIndex(lang)).toDouble / probes.length
+      })
+      perLang.select(col("lang"), col("zero_fn"),
+        (fpOf(col("lang")) <= 2 * p.maxFp).as("fpr_ok"))
+    }),
+
+    "q16_classify_selfhit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val db = SketchBuild.build(s, docs, "lang", "text",
+        IbfParams(k = 8, w = 8, maxFp = 0.001))
+      val res = Classify.classify(s, docs, "doc_id", "text", db,
+        ClassifyParams(relCutoff = 0.25))
+      val all = Classify.allMatches(res)
+      val docLang = docs.select(col("doc_id").cast("string").as("read_id"),
+        col("lang"))
+      // zero-FN guarantee: own-lang bin contains every shingle -> always
+      // survives any cutoff <= 1.0 -> hit_own is deterministically true
+      docLang.join(all, Seq("read_id"), "left")
+        .groupBy("read_id", "lang")
+        .agg(max(when(col("target") === col("lang"), true)
+          .otherwise(false)).as("hit_own"))
+        .select(col("read_id").cast("long").as("doc_id"), col("hit_own"))
+    }),
+
+    "q17_minhash_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sets = docs.select(col("doc_id").cast("long").as("id"),
+        GraftFunctions.tokenHashes(col("text")).as("hs"))
+      // J == 1.0 pairs have identical signatures -> found with prob 1
+      Dedup.minhashPairs(s, sets, numPerms = 128, bands = 32, threshold = 1.0)
+        .select(col("doc_a"), col("doc_b"))
+    }),
+
+    "q18_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Ann.bruteForceTopK(s, emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    "q19_simhash" -> ((s, dir) => {
+      // no SQL oracle (bit-level hashing) -> rows-only check
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+        GraftFunctions.simhash(
+          GraftFunctions.tokenHashes(col("text"))).as("simhash"))
+    }),
+
+    "q20_stream_window" -> ((s, dir) => {
+      // the file source wants a directory; stage a symlink to the (read-only)
+      // events file under /tmp — zero copy, deterministic path
+      val srcDir = java.nio.file.Paths.get(
+        s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(srcDir.toString)
+      val agg = stream
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value_c"))
+      val qname = "graft_stream_" + math.abs(dir.hashCode)
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qname)
+    }),
+
+    "q21_media_meta" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(s, media).toDF()
+      media.select(col("doc_id"), col("n_bytes"))
+        .join(feats.select(col("doc_id"), (col("feature")(0) >= 0.0 &&
+          col("feature")(0) <= 1.0).as("feat_ok")), Seq("doc_id"))
+    }),
+
+    "q22_em_reassign" -> ((s, dir) => {
+      // EM on the classify .all relation — rows-only (iterative, no SQL form)
+      val docs = t(s, dir, "documents")
+      val db = SketchBuild.build(s, docs, "lang", "text",
+        IbfParams(k = 8, w = 8, maxFp = 0.001))
+      val res = Classify.classify(s, docs, "doc_id", "text", db,
+        ClassifyParams(relCutoff = 0.25))
+      graft.classify.Em.reassign(s, Classify.allMatches(res))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pushdown_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_join_agg" ->
+      """SELECT n_name, r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q03_window_topk" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q04_dedup_exact" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(MIN(doc_id) OVER (PARTITION BY text) AS BIGINT) AS canonical_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count
+        |FROM documents""".stripMargin,
+
+    "q05_token_stats" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+        |    AS n_distinct_tokens,
+        |  CAST(len(list_filter(string_split(trim(text), ' '),
+        |    t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+        |    AS BIGINT) AS n_stopwords,
+        |  CAST(list_sum(list_transform(string_split(trim(text), ' '),
+        |    t -> strlen(t))) AS BIGINT) AS sum_token_len
+        |FROM documents""".stripMargin,
+
+    "q06_quality_signals" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CAST(strlen(text) - strlen(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |    AS BIGINT) AS n_letters,
+        |  CAST(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS BIGINT) AS n_digits,
+        |  CAST(strlen(text) - strlen(replace(text, ' ', ''))
+        |    AS BIGINT) AS n_spaces
+        |FROM documents""".stripMargin,
+
+    "q07_rollup_tree" ->
+      """WITH leaf AS (
+        |  SELECT lang || '/' || source AS node, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT node, CAST(2 AS BIGINT) AS rank_depth, c AS direct,
+        |  c AS cumulative FROM leaf
+        |UNION ALL
+        |SELECT lang AS node, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(SUM(c) AS BIGINT) FROM leaf GROUP BY lang
+        |UNION ALL
+        |SELECT 'root', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(SUM(c) AS BIGINT) FROM leaf""".stripMargin,
+
+    "q08_pivot" ->
+      """SELECT source AS sample,
+        |  CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS de,
+        |  CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS en,
+        |  CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS es,
+        |  CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q10_min_frequency" ->
+      """WITH rep AS (
+        |  SELECT source AS sample, lang AS node, CAST(COUNT(*) AS BIGINT) AS count
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT sample, node, count FROM rep
+        |WHERE node IN (
+        |  SELECT node FROM rep GROUP BY node
+        |  HAVING COUNT(DISTINCT sample) >= 20)""".stripMargin,
+
+    "q11_hll_tokens" ->
+      """SELECT lang,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact, true AS ok
+        |FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY lang""".stripMargin,
+
+    "q12_hll_lineitem" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact, true AS ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q13_cms_tokens" ->
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt, true AS ok
+        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY exact_cnt DESC, tok ASC LIMIT 20""".stripMargin,
+
+    "q14_kll_quantiles" ->
+      """SELECT CAST(q AS DOUBLE) AS q, true AS ok
+        |FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS v(q)""".stripMargin,
+
+    "q15_bloom_bins" ->
+      """SELECT DISTINCT lang, true AS zero_fn, true AS fpr_ok
+        |FROM documents""".stripMargin,
+
+    "q16_classify_selfhit" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS hit_own
+        |FROM documents""".stripMargin,
+
+    "q17_minhash_dups" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(trim(text), ' ')))
+        |    AS toks
+        |  FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+        |  CAST(b.doc_id AS BIGINT) AS doc_b
+        |FROM tok a JOIN tok b ON a.toks = b.toks AND a.doc_id < b.doc_id"""
+        .stripMargin,
+
+    "q18_ann_topk" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(c.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(q.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+        |    AND q.vec_id <> c.vec_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        |  FROM pairs) WHERE rn <= 5""".stripMargin,
+
+    "q20_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q21_media_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes, true AS feat_ok
+        |FROM documents""".stripMargin
+  )
 }
