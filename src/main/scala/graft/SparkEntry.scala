@@ -260,8 +260,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sets = docs.select(col("doc_id").cast("long").as("id"),
         GraftFunctions.tokenHashes(col("text")).as("hs"))
-      // J == 1.0 pairs have identical signatures -> found with prob 1
-      Dedup.minhashPairs(s, sets, numPerms = 128, bands = 32, threshold = 1.0)
+      // J == 1.0 pairs have identical signatures -> found with prob 1;
+      // 16-row bands keep saturated-vocab buckets small (r=16: a random
+      // pair at J=0.7 collides with prob 0.7^16 ~= 0.003)
+      Dedup.minhashPairs(s, sets, numPerms = 128, bands = 8, threshold = 1.0)
         .select(col("doc_a"), col("doc_b"))
     }),
 

@@ -11,7 +11,8 @@ import graft.spark.GraftFunctions
   * src/utils/include/utils/IBFConfig.hpp:5-41). */
 final case class IbfParams(
     k: Int = 19,
-    w: Int = 19,
+    w: Int = 31, // reference defaults: -k 19 -w 31 (config.py); w>k shrinks
+                 // the per-row hash set ~2/(w-k+2) with the same guarantees
     seed: Long = Hashing.DefaultSeed,
     maxFp: Double = 0.01,
     hllP: Int = 14,
@@ -104,31 +105,60 @@ object SketchBuild {
     val thePlan = plan(cards, p)
 
     // ---- pass 2 (or resume) ----
+    // Dense Bloom partials are far larger than the raw hash arrays, so the
+    // default map-side-partial plan would ship |partitions| x |targets| x m
+    // bits through the exchange. Instead: repartition rows by (target, salt)
+    // FIRST (shuffles only the cheap hash arrays), so every (target, salt)
+    // bin is built by exactly one task and no partial merge ever serializes.
+    // Salting splits mega-targets across tasks (the reference splits
+    // over-full targets across technical bins the same way,
+    // GanonBuild.cpp:619-653); sub-blooms OR-merge on the driver.
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val totalHashes = math.max(1L, cards.map(_._2).sum)
+    val fairShare = math.max(1L, totalHashes / parts)
+    val salts = cards.map { case (t2, n) =>
+      (t2, math.min(parts.toLong, math.max(1L, (n + fairShare - 1) / fairShare)).toInt)
+    }
+    val saltsDf = spark.createDataFrame(salts).toDF("target", "n_salts")
     val binsDf = checkpointed(spark, checkpointDir, "pass2_bloom_bins") {
       val base =
         if (p.minContentLen > 0) df.filter(length(col(contentCol)) >= p.minContentLen)
         else df
       base
-        .select(col(targetCol).as("target"),
-          GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
-        .groupBy("target")
+        .select(col(targetCol).as("target"), col(contentCol).as("__content"))
+        .join(broadcast(saltsDf), Seq("target"))
+        .withColumn("salt", pmod(xxhash64(col("__content")), col("n_salts")))
+        // repartition the RAW content (compresses ~6x smaller than the hash
+        // arrays); shingles are computed after the exchange, in the same
+        // stage as the aggregation
+        .repartition(parts, col("target"), col("salt"))
+        .select(col("target"), col("salt"),
+          GraftFunctions.shingles(col("__content"), p.k, p.w, p.seed).as("hs"))
+        .groupBy("target", "salt")
         .agg(GraftFunctions.bloomSketch(col("hs"),
           thePlan.bitsPerBin, thePlan.numHashes).as("bloom"))
     }
     assemble(binsDf, cards, p, thePlan)
   }
 
-  /** Interleave collected per-bin blooms; bin order = sorted target names
-    * (deterministic bin ids across runs & partitionings). */
+  /** OR-merge salted sub-blooms per target, then interleave; bin order =
+    * sorted target names (deterministic across runs & partitionings). */
   def assemble(binsDf: DataFrame, cards: Seq[(String, Long)], p: IbfParams,
       thePlan: IbfPlan): SketchDb = {
     val targets = cards.map(_._1).toArray
     val index = targets.zipWithIndex.toMap
     val counts = cards.map(_._2).toArray
-    val bins = binsDf.collect().map { r =>
-      (index(r.getString(0)), Bloom.fromBytes(r.getAs[Array[Byte]](1)))
-    }.toSeq
-    val ibf = InterleavedBloom.fromBins(bins, targets.length)
+    val merged = new scala.collection.mutable.HashMap[Int, Bloom]()
+    binsDf.select("target", "bloom").collect().foreach { r =>
+      val i = index(r.getString(0))
+      val b = Bloom.fromBytes(r.getAs[Array[Byte]](1))
+      merged.get(i) match {
+        case Some(acc) => acc.merge(b)
+        case None      => merged.put(i, b)
+      }
+    }
+    val ibf = InterleavedBloom.fromBins(merged.toSeq, targets.length)
     new SketchDb(ibf, targets, counts, p, thePlan)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.build.SketchDb
-import graft.core.{Hashing, Lca, MathFns}
+import graft.core.{Lca, MathFns}
 
 /** Per-read thresholds — same semantics & defaults as the reference
   * (rel-cutoff GanonClassify.cpp:492-495/:718-724, rel-filter :756-762,
@@ -51,27 +51,29 @@ object Classify {
     val dbB = spark.sparkContext.broadcast(db)
     val lcaB = spark.sparkContext.broadcast(lcaOpt)
 
-    val k = db.params.k; val w = db.params.w; val seed = db.params.seed
+    // shingles run inside whole-stage codegen (native expression); the
+    // probe mapPartitions receives primitive long[] — no boxing anywhere
+    val shExpr = graft.spark.ShinglesExpr.col(
+      coalesce(col(contentCol), lit("")), db.params.k, db.params.w, db.params.seed)
     reads
       .select(col(idCol).cast("string").as("read_id"),
-        col(contentCol).as("content"))
-      .as[(String, String)]
+        coalesce(length(col(contentCol)), lit(0)).as("len"), shExpr.as("hs"))
+      .as[(String, Int, Array[Long])]
       .mapPartitions { iter =>
         val d = dbB.value
         val lca = lcaB.value
         val counts = new Array[Int](d.targets.length)
-        iter.map { case (id, content) =>
-          classifyOne(id, content, d, cp, lca, k, w, seed, counts)
+        iter.map { case (id, len, hs) =>
+          classifyOne(id, len, hs, d, cp, lca, counts)
         }
       }
   }
 
-  private[classify] def classifyOne(id: String, content: String, d: SketchDb,
-      cp: ClassifyParams, lca: Option[Lca], k: Int, w: Int, seed: Long,
+  private[classify] def classifyOne(id: String, contentLen: Int,
+      hs: Array[Long], d: SketchDb, cp: ClassifyParams, lca: Option[Lca],
       counts: Array[Int]): ReadResult = {
-    if (content == null || content.length < math.max(cp.minLen, w))
+    if (contentLen < math.max(cp.minLen, d.params.w))
       return ReadResult(id, 0, Array.empty, null, unique = false, skipped = true)
-    val hs = Hashing.shingles(content, k, w, seed)
     val n = hs.length
     if (n == 0 || n > cp.maxHashesPerRead) // counter-overflow skip (uint16 rule)
       return ReadResult(id, n, Array.empty, null, unique = false, skipped = true)
@@ -157,6 +159,21 @@ object Classify {
   def unclassified(results: Dataset[ReadResult]): DataFrame =
     results.toDF().filter(col("assignment").isNull && !col("skipped"))
       .select("read_id")
+
+  /** `.sta` analog (GanonClassify.cpp:1130-1218): one-row run statistics.
+    * Single aggregation over the per-read results — no extra pass. */
+  def stats(results: Dataset[ReadResult]): DataFrame = {
+    results.toDF().agg(
+      count(lit(1)).as("seqs_processed"),
+      sum(when(col("assignment").isNotNull, 1L).otherwise(0L)).as("seqs_classified"),
+      sum(when(col("unique"), 1L).otherwise(0L)).as("seqs_unique"),
+      sum(when(col("assignment").isNotNull && !col("unique"), 1L).otherwise(0L))
+        .as("seqs_multi"),
+      sum(when(col("skipped"), 1L).otherwise(0L)).as("seqs_skipped"),
+      sum(size(col("matches"))).as("total_matches"),
+      sum(col("n_hashes")).as("total_hashes"),
+      round(avg(size(col("matches"))), 4).as("avg_matches_per_seq"))
+  }
 
   /**
    * Hierarchy cascade (GanonClassify.cpp:811-831): classify against each

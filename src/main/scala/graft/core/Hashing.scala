@@ -40,10 +40,14 @@ object Hashing {
   }
 
   /**
-   * All k-mer hashes of `content` (one per position, length n-k+1).
-   * Rolling: h(i+1) = (h(i) - c_i * P^(k-1)) * P + c_{i+k}; finalized by mix64^seed.
+   * All k-mer hashes over UTF-8 BYTES (one per byte position, n-k+1 total).
+   * Rolling: h(i+1) = (h(i) - c_i * P^(k-1)) * P + c_{i+k}; finalized by
+   * mix64^seed. Byte-based so the Catalyst expression can hash UTF8String
+   * content without a per-row String decode; identical to char-based
+   * hashing for ASCII content.
    */
-  def kmerHashes(content: String, k: Int, seed: Long = DefaultSeed): Array[Long] = {
+  def kmerHashesBytes(content: Array[Byte], k: Int,
+      seed: Long = DefaultSeed): Array[Long] = {
     val n = content.length
     if (n < k || k <= 0) return Array.emptyLongArray
     val out = new Array[Long](n - k + 1)
@@ -53,16 +57,19 @@ object Hashing {
     while (j < k) { pk1 *= Prime; j += 1 }
     var h = 0L
     var i = 0
-    while (i < k) { h = h * Prime + content.charAt(i); i += 1 }
+    while (i < k) { h = h * Prime + (content(i) & 0xFF); i += 1 }
     out(0) = mix64(h ^ seed)
     i = k
     while (i < n) {
-      h = (h - content.charAt(i - k) * pk1) * Prime + content.charAt(i)
+      h = (h - (content(i - k) & 0xFF) * pk1) * Prime + (content(i) & 0xFF)
       out(i - k + 1) = mix64(h ^ seed)
       i += 1
     }
     out
   }
+
+  def kmerHashes(content: String, k: Int, seed: Long = DefaultSeed): Array[Long] =
+    kmerHashesBytes(content.getBytes(java.nio.charset.StandardCharsets.UTF_8), k, seed)
 
   /**
    * (w,k)-minimizers: minimum hash in every window of `w` consecutive
@@ -73,9 +80,13 @@ object Hashing {
    * Minimum is taken in UNSIGNED 64-bit order (hashes are uniform; the
    * reference's uint64_t comparison is unsigned — GanonBuild.cpp:41).
    */
-  def minimizers(content: String, k: Int, w: Int, seed: Long = DefaultSeed): Array[Long] = {
+  def minimizers(content: String, k: Int, w: Int, seed: Long = DefaultSeed): Array[Long] =
+    minimizersBytes(content.getBytes(java.nio.charset.StandardCharsets.UTF_8), k, w, seed)
+
+  def minimizersBytes(content: Array[Byte], k: Int, w: Int,
+      seed: Long = DefaultSeed): Array[Long] = {
     require(w >= k, s"window w=$w must be >= k=$k")
-    val hs = kmerHashes(content, k, seed)
+    val hs = kmerHashesBytes(content, k, seed)
     if (hs.isEmpty) return hs
     val kmersPerWin = w - k + 1
     if (kmersPerWin <= 1 || hs.length <= 1) return sortedDistinct(hs)
@@ -87,6 +98,8 @@ object Hashing {
       return Array(m)
     }
     val out = new Array[Long](nWin)
+    var nOut = 0
+    var lastIdx = -1 // suppress consecutive repeats of the same minimizer
     val deque = new Array[Int](hs.length) // indices, monotone increasing hash
     var head = 0; var tail = 0 // [head, tail)
     var i = 0
@@ -94,10 +107,14 @@ object Hashing {
       while (tail > head && !uLt(hs(deque(tail - 1)), hs(i))) tail -= 1
       deque(tail) = i; tail += 1
       if (deque(head) <= i - kmersPerWin) head += 1
-      if (i >= kmersPerWin - 1) out(i - kmersPerWin + 1) = hs(deque(head))
+      if (i >= kmersPerWin - 1) {
+        val mi = deque(head)
+        if (mi != lastIdx) { out(nOut) = hs(mi); nOut += 1; lastIdx = mi }
+      }
       i += 1
     }
-    sortedDistinct(out)
+    sortedDistinct(
+      if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
   }
 
   /**
@@ -107,6 +124,10 @@ object Hashing {
    */
   def shingles(content: String, k: Int, w: Int, seed: Long = DefaultSeed): Array[Long] =
     minimizers(content, k, w, seed)
+
+  def shinglesBytes(content: Array[Byte], k: Int, w: Int,
+      seed: Long = DefaultSeed): Array[Long] =
+    minimizersBytes(content, k, w, seed)
 
   /** Distinct whitespace-token hashes of a text. */
   def tokenHashes(text: String, seed: Long = DefaultSeed): Array[Long] = {

@@ -117,26 +117,75 @@ object InterleavedBloom {
     new InterleavedBloom(numBins, bitsPerBin, numHashes, words)
   }
 
+  /** In-place 64x64 bit-matrix transpose, LSB column convention:
+    * a(i) bit j  ->  a(j) bit i. Recursive block-swap (6 rounds of 32 word
+    * swaps) — the textbook Hacker's Delight 7-3 scheme with the swap
+    * direction flipped for LSB-first columns: block (rows<j, cols>=j)
+    * exchanges with (rows>=j, cols<j). */
+  def transpose64(a: Array[Long]): Unit = {
+    var j = 32
+    var m = 0x00000000FFFFFFFFL
+    while (j != 0) {
+      var k = 0
+      while (k < 64) {
+        val t = ((a(k) >>> j) ^ a(k + j)) & m
+        a(k) ^= (t << j)
+        a(k + j) ^= t
+        k = (k + j + 1) & ~j
+      }
+      j >>>= 1
+      m ^= m << j
+    }
+  }
+
   /**
    * Interleave per-bin Blooms (all sharing bitsPerBin & numHashes) into one
    * probe structure — the assembly step after the distributed
-   * groupBy(bin).agg(bloom) pass.
+   * groupBy(bin).agg(bloom) pass. Works per 64-bin group x 64-bit block as
+   * a 64x64 bit-matrix transpose: O(m * binsRounded / 64 * 6) word ops.
    */
   def fromBins(bins: Seq[(Int, Bloom)], numBins: Int): InterleavedBloom = {
     require(bins.nonEmpty)
     val m = bins.head._2.numBits
     val h = bins.head._2.numHashes
     val ibf = empty(numBins, m, h)
+    val byIdx = new Array[Bloom](ibf.binsRounded)
     bins.foreach { case (binIdx, bloom) =>
-      require(bloom.numBits == m && bloom.numHashes == h)
+      require(bloom.numBits == m && bloom.numHashes == h,
+        s"bin $binIdx params (${bloom.numBits},${bloom.numHashes}) != ($m,$h)")
       require(binIdx >= 0 && binIdx < numBins)
-      var p = 0L
-      while (p < m) {
-        if ((bloom.words((p >>> 6).toInt) & (1L << (p & 63))) != 0L) {
-          ibf.words((p * ibf.wordsPerRow + (binIdx >>> 6)).toInt) |= (1L << (binIdx & 63))
+      byIdx(binIdx) = bloom
+    }
+    val blockWords = new Array[Long](64)
+    val wordsPerBin = ((m + 63) / 64).toInt
+    var g = 0
+    while (g < ibf.wordsPerRow) { // bin group: bins [64g, 64g+64)
+      var q = 0
+      while (q < wordsPerBin) { // 64-bit block of positions [64q, 64q+64)
+        var b = 0
+        var nonZero = false
+        while (b < 64) {
+          val bl = byIdx(g * 64 + b)
+          val wv = if (bl == null) 0L else bl.words(q)
+          blockWords(b) = wv
+          if (wv != 0L) nonZero = true
+          b += 1
         }
-        p += 1
+        if (nonZero) {
+          // blockWords(b) bit j == bin (64g+b) at position (64q+j);
+          // after transpose: blockWords(j) bit b == same -> row word
+          transpose64(blockWords)
+          var j = 0
+          val maxJ = math.min(64L, m - 64L * q).toInt
+          while (j < maxJ) {
+            if (blockWords(j) != 0L)
+              ibf.words(((64L * q + j) * ibf.wordsPerRow + g).toInt) = blockWords(j)
+            j += 1
+          }
+        }
+        q += 1
       }
+      g += 1
     }
     ibf
   }

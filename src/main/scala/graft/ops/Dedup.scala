@@ -40,22 +40,33 @@ object Dedup {
    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold
    */
   def minhashPairs(spark: SparkSession, hashSets: DataFrame, numPerms: Int,
-      bands: Int, threshold: Double, maxBucket: Int = 1000): DataFrame = {
+      bands: Int, threshold: Double, maxBucket: Int = 10000): DataFrame = {
     import spark.implicits._
-    val sigs = hashSets
+    import org.apache.spark.sql.expressions.Window
+    val keyed = hashSets
       .withColumn("sig", GraftFunctions.minhashSignature(col("hs"), numPerms))
       .withColumn("band", explode(GraftFunctions.lshBandKeys(col("sig"), bands)))
-      .select(col("band"), col("id"), col("hs"))
+      .select(col("band"), col("id"))
 
-    // bucket self-join; oversized buckets truncated (logged at scale)
-    val candidates = sigs.as("a").join(sigs.as("b"),
+    // candidate generation carries ONLY (band, id): the hash sets join back
+    // just for the surviving pairs. Mega-buckets (saturated vocab / skew)
+    // are capped at maxBucket members — at scale, cap + salt-by-sig-prefix
+    // bounds the worst bucket to O(maxBucket^2) pairs.
+    val capped = keyed
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("band").orderBy("id")))
+      .filter(col("rnk") <= maxBucket)
+      .drop("rnk")
+    val candidates = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.hs").as("hs_a"), col("b.hs").as("hs_b"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
     val jac = udf((a: Array[Long], b: Array[Long]) => MinHash.exactJaccard(a, b))
+    val hsA = hashSets.select(col("id").as("doc_a"), col("hs").as("hs_a"))
+    val hsB = hashSets.select(col("id").as("doc_b"), col("hs").as("hs_b"))
     candidates
+      .join(hsA, Seq("doc_a")).join(hsB, Seq("doc_b"))
       .withColumn("jaccard", jac(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

@@ -58,6 +58,58 @@ object Report {
       .filter(col("rn") <= ceil(col("cnt") * p))
       .drop("rn", "cnt")
   }
+
+  /**
+   * Size-normalized abundance correction (ganon report.py:578-653):
+   * within each rank_depth, corrected = rank_total * (count/size) /
+   * sum(count/size). Conserves the per-rank total (asserted in tests, as
+   * the reference asserts).
+   *
+   * @param tre   (node, rank_depth, cumulative, ...)
+   * @param sizes (node, size) — genome_size analog (e.g. bytes per bin)
+   */
+  def sizeCorrection(tre: DataFrame, sizes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("rank_depth")
+    tre.join(broadcast(sizes), Seq("node"), "left")
+      .withColumn("size", coalesce(col("size"), lit(1L)))
+      .withColumn("density", col("cumulative") / col("size"))
+      .withColumn("corrected",
+        sum(col("cumulative")).over(w) * col("density") /
+          sum(col("density")).over(w))
+      .drop("density")
+  }
+
+  /**
+   * Shared-count redistribution (ganon report.py:507-575): push each
+   * internal node's own (LCA-assigned) count down to its leaf descendants
+   * proportionally to their direct counts; integer leftovers go to leaves
+   * in deterministic order (-direct, node) — the reference's stable-sort
+   * tie-break reproduced with an explicit order.
+   *
+   * @param counts    (node, direct_count) — leaves AND internal nodes
+   * @param leafOf    (node, leaf, leaf_direct) — every (internal node,
+   *                  descendant leaf) pair; leaves map to themselves
+   * @return (leaf, redistributed_count) summing exactly to the input total
+   */
+  def redistribute(counts: DataFrame, leafOf: DataFrame): DataFrame = {
+    val joined = counts.join(leafOf, Seq("node"))
+    val w = Window.partitionBy("node")
+    val wOrd = Window.partitionBy("node")
+      .orderBy(col("leaf_direct").desc, col("leaf").asc)
+    joined
+      .withColumn("tot", sum(col("leaf_direct")).over(w))
+      .withColumn("share",
+        when(col("tot") > 0,
+          floor(col("direct_count") * col("leaf_direct") / col("tot")))
+          .otherwise(floor(col("direct_count") /
+            count(lit(1)).over(w))))
+      .withColumn("leftover",
+        col("direct_count") - sum(col("share")).over(w))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("extra", when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+      .groupBy(col("leaf"))
+      .agg(sum(col("share") + col("extra")).as("redistributed_count"))
+  }
 }
 
 /**

@@ -18,20 +18,14 @@ object GraftFunctions {
 
   // ---- scalar / array functions ----------------------------------------
 
-  val shinglesUdf: UserDefinedFunction =
-    udf((content: String, k: Int, w: Int, seed: Long) =>
-      if (content == null) Array.emptyLongArray else Hashing.shingles(content, k, w, seed))
-
+  /** Native Catalyst expression (no boxing, codegen) — see [[ShinglesExpr]]. */
   def shingles(content: Column, k: Int, w: Int,
       seed: Long = Hashing.DefaultSeed): Column =
-    shinglesUdf(content, lit(k), lit(w), lit(seed))
+    ShinglesExpr.col(content, k, w, seed)
 
-  val tokenHashesUdf: UserDefinedFunction =
-    udf((text: String, seed: Long) =>
-      if (text == null) Array.emptyLongArray else Hashing.tokenHashes(text, seed))
-
+  /** Native Catalyst expression — see [[TokenHashesExpr]]. */
   def tokenHashes(text: Column, seed: Long = Hashing.DefaultSeed): Column =
-    tokenHashesUdf(text, lit(seed))
+    TokenHashesExpr.col(text, seed)
 
   val hash64Udf: UserDefinedFunction =
     udf((s: String) => if (s == null) 0L else Hashing.hashString(s))
@@ -84,8 +78,15 @@ object GraftFunctions {
 
   /** Register the engine's functions for spark.sql use. */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("graft_shingles", shinglesUdf)
-    spark.udf.register("graft_token_hashes", tokenHashesUdf)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      es => ShinglesExpr(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+        if (es.length > 3) es(3).eval().asInstanceOf[Long] else Hashing.DefaultSeed),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_hashes",
+      es => TokenHashesExpr(es.head, Hashing.DefaultSeed), "scala_udf")
     spark.udf.register("graft_hash64", hash64Udf)
     spark.udf.register("graft_simhash", simhashUdf)
     spark.udf.register("graft_hll_count", udaf(new HllCountAgg(14)))

@@ -1,0 +1,134 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, GraftColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Hashing
+
+/**
+ * Native Catalyst expression for the shingle hot loop — the per-row
+ * tight inner loop of the engine (role of the reference's minimizer
+ * hashing, ganon src/ganon-classify/GanonClassify.cpp:646-650).
+ *
+ * vs a Scala UDF this avoids (a) boxing every hash into java.lang.Long
+ * (the result is an UnsafeArrayData over a primitive long[]), (b) the
+ * String decode (hashes UTF8String bytes directly), and (c) falling out
+ * of whole-stage codegen (doGenCode emits a static call). At 200k rows
+ * x ~800 hashes the UDF version allocated ~170M boxed longs; this
+ * allocates two primitive arrays per row.
+ */
+case class ShinglesExpr(child: Expression, k: Int, w: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingles expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShinglesExpr.compute(input.asInstanceOf[UTF8String], k, w, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.spark.ShinglesExpr.compute($c, $k, $w, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+object ShinglesExpr {
+  /** Static hot-loop entry, called from generated code. */
+  def compute(s: UTF8String, k: Int, w: Int, seed: Long): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Hashing.shinglesBytes(s.getBytes, k, w, seed))
+
+  def col(c: Column, k: Int, w: Int, seed: Long = Hashing.DefaultSeed): Column =
+    ExpressionUtils.column(
+      ShinglesExpr(ExpressionUtils.expression(c), k, w, seed))
+}
+
+/** Distinct whitespace-token 64-bit hashes of a text column — same
+  * no-boxing, codegen-friendly design as [[ShinglesExpr]]. */
+case class TokenHashesExpr(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"token_hashes expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashesExpr.compute(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.spark.TokenHashesExpr.compute($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_hashes"
+}
+
+object TokenHashesExpr {
+  private final val Prime: Long = 0x100000001B3L
+
+  /** Tokenize on ASCII whitespace over raw bytes, hash each token with the
+    * same polynomial+mix64 scheme as Hashing.hashString (ASCII-identical). */
+  def compute(s: UTF8String, seed: Long): UnsafeArrayData = {
+    val b = s.getBytes
+    val out = new Array[Long](16.max(b.length / 4))
+    var n = 0
+    var i = 0
+    val len = b.length
+    while (i < len) {
+      // skip whitespace
+      while (i < len && isWs(b(i))) i += 1
+      if (i < len) {
+        var h = seed
+        while (i < len && !isWs(b(i))) { h = h * Prime + (b(i) & 0xFF); i += 1 }
+        val v = Hashing.mix64(h ^ seed)
+        if (n == out.length) return computeGrow(b, seed) // rare fallback
+        out(n) = v; n += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Hashing.sortedDistinct(java.util.Arrays.copyOf(out, n)))
+  }
+
+  private def computeGrow(b: Array[Byte], seed: Long): UnsafeArrayData = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    val len = b.length
+    while (i < len) {
+      while (i < len && isWs(b(i))) i += 1
+      if (i < len) {
+        var h = seed
+        while (i < len && !isWs(b(i))) { h = h * Prime + (b(i) & 0xFF); i += 1 }
+        buf += Hashing.mix64(h ^ seed)
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(Hashing.sortedDistinct(buf.toArray))
+  }
+
+  @inline private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' ||
+      c == 0x0B // \v — match java's \s semantics for ASCII
+
+  def col(c: Column, seed: Long = Hashing.DefaultSeed): Column =
+    ExpressionUtils.column(
+      TokenHashesExpr(ExpressionUtils.expression(c), seed))
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.build.SketchDb
+import graft.classify.{Classify, ClassifyParams}
+
+/**
+ * Structured-Streaming classify mode: the reference's pipelined
+ * reader -> classifier -> writer thread dataflow (ganon
+ * GanonClassify.cpp:1426-1441, bounded SafeQueues) maps onto micro-batches
+ * probing the broadcast sketch. The probe is stateless/map-only, so any
+ * output mode works and no watermark is required (the reference has no
+ * event time either — SURVEY.md §2.9); windowed per-bin rates are an
+ * optional aggregation on top.
+ */
+object StreamClassify {
+
+  /** Per-micro-batch classification: returns a streaming DataFrame of
+    * (read_id, target, kmer_count). */
+  def matchesStream(spark: SparkSession, stream: DataFrame, idCol: String,
+      contentCol: String, db: SketchDb,
+      cp: ClassifyParams = ClassifyParams()): DataFrame = {
+    // Classify.classify is plan-level (select + mapPartitions) — it applies
+    // unchanged to a streaming child plan
+    Classify.allMatches(
+      Classify.classify(spark, stream, idCol, contentCol, db, cp))
+  }
+
+  /** Per-event-time-window per-target match counts (adds the watermarked
+    * windowed aggregation the reference never had). */
+  def windowedCounts(spark: SparkSession, stream: DataFrame, idCol: String,
+      contentCol: String, tsCol: String, db: SketchDb, window_ : String,
+      watermark: String, cp: ClassifyParams = ClassifyParams()): DataFrame = {
+    val withTs = stream.withColumn("__ts", col(tsCol).cast("timestamp"))
+    val res = Classify.classify(spark, withTs
+      .withColumn("__id", concat(col(idCol), lit("@"),
+        col("__ts").cast("long"))), "__id", contentCol, db, cp)
+    res.toDF()
+      .select(col("read_id"), explode(col("matches")).as("m"))
+      .withColumn("__ts",
+        expr("cast(cast(substring_index(read_id, '@', -1) as long) as timestamp)"))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), window_), col("m.target").as("target"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("window.start").as("window_start"), col("target"),
+        col("n_matches"))
+  }
+}

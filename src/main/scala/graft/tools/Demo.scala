@@ -34,7 +34,7 @@ object Demo {
     corpus.groupBy("lang").count().orderBy("lang").show(20, truncate = false)
 
     // build: bins = repo
-    val p = IbfParams(k = 12, w = 12, maxFp = 0.01)
+    val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
     val db = SketchBuild.build(spark, corpus, "repo", "content", p)
     println(s"[demo] db bins=${db.targets.length} bitsPerBin=${db.plan.bitsPerBin} " +
       s"h=${db.plan.numHashes} maxN=${db.plan.maxBinHashes} " +

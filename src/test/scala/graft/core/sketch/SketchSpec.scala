@@ -72,6 +72,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("ibf: transpose64 is a transpose (single-bit probes + involution)") {
+    val rnd = new scala.util.Random(3)
+    // single bit (i, j) lands at (j, i)
+    (0 until 50).foreach { _ =>
+      val i = rnd.nextInt(64); val j = rnd.nextInt(64)
+      val a = new Array[Long](64)
+      a(i) = 1L << j
+      InterleavedBloom.transpose64(a)
+      (0 until 64).foreach { r =>
+        assert(a(r) == (if (r == j) 1L << i else 0L), s"bit($i,$j) r=$r")
+      }
+    }
+    // involution on random matrices
+    val m0 = Array.fill(64)(rnd.nextLong())
+    val m = m0.clone()
+    InterleavedBloom.transpose64(m)
+    InterleavedBloom.transpose64(m)
+    assert(m.sameElements(m0))
+  }
+
   test("ibf: serde roundtrip") {
     val ibf = InterleavedBloom.empty(5, 512, 2)
     hashes(50, 7).foreach(h => ibf.add(h, 3))

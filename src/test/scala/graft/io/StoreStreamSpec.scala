@@ -1,0 +1,85 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{IbfParams, SketchBuild}
+import graft.classify.{Classify, ClassifyParams}
+import graft.metrics.TaskMetricsCollector
+import graft.spark.SparkTestSession
+import graft.streaming.StreamClassify
+import graft.synth.Corpus
+
+class StoreStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val corpus = Corpus.df(spark, 200, numRepos = 8, partitions = 4)
+    .cache()
+  private lazy val db = SketchBuild.build(spark, corpus, "repo", "content",
+    IbfParams(k = 8, w = 12, maxFp = 0.01))
+
+  test("sketch store: save/load roundtrip preserves the db") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    SketchStore.save(spark, db, dir)
+    val back = SketchStore.load(spark, dir)
+    assert(back.targets.sameElements(db.targets))
+    assert(back.targetHashes.sameElements(db.targetHashes))
+    assert(back.ibf.words.sameElements(db.ibf.words))
+    assert(back.plan.bitsPerBin == db.plan.bitsPerBin)
+    assert(back.params.k == db.params.k && back.params.w == db.params.w)
+    // loaded db classifies identically
+    val a = Classify.allMatches(Classify.classify(spark,
+      corpus.limit(50).withColumn("id", $"path"), "id", "content", db))
+      .collect().map(_.toString).sorted
+    val b = Classify.allMatches(Classify.classify(spark,
+      corpus.limit(50).withColumn("id", $"path"), "id", "content", back))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("task metrics: per-partition rows captured and dumpable") {
+    val c = TaskMetricsCollector.attach(spark)
+    corpus.limit(100).count()
+    // listener bus is async; poll briefly
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while (c.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(c.snapshot.nonEmpty)
+    assert(c.totals("tasks") > 0)
+    val f = java.nio.file.Files.createTempFile("graft_metrics", ".jsonl")
+    c.dump(f.toString)
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(lines.size() == c.snapshot.size)
+    assert(lines.get(0).contains("\"partition\""))
+  }
+
+  test("streaming classify: micro-batch probe equals batch classify") {
+    // stage the corpus as a parquet dir and stream it back
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    corpus.select($"path", $"content").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = StreamClassify.matchesStream(spark, stream, "path", "content", db,
+      ClassifyParams(relCutoff = 0.25))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("graft_sc_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("graft_sc_test")
+      .collect().map(_.toString).sorted
+    val batch = Classify.allMatches(Classify.classify(spark,
+      corpus.select($"path", $"content"), "path", "content", db,
+      ClassifyParams(relCutoff = 0.25))).collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
+
+  test("formats: input-file TSV scan with defaulted targets") {
+    val tmp = java.nio.file.Files.createTempFile("graft_if", ".tsv")
+    java.nio.file.Files.writeString(tmp,
+      "/data/a.fa\tT1\nb.fa\n/x/c.fa\tT3\tnodeX\tspecY\tnameZ\n")
+    val df = Formats.readInputFile(spark, tmp.toString)
+    // sorted by file: "/data/a.fa" < "/x/c.fa" < "b.fa"
+    val rows = df.orderBy("file").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("T1", "T3", "b.fa"))
+    assert(rows(1).getString(2) == "nodeX")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Hashing
+import graft.spark.{GraftFunctions, SparkTestSession}
+
+/** Training-data pipeline operators: dedup recall, ANN recall, text stats,
+  * language-ID accuracy on a vocab-separable corpus, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dedup.exact: groups identical content") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (3L, 1L, 3L), (5L, 1L, 3L),
+      (2L, 2L, 1L), (4L, 4L, 1L)))
+  }
+
+  test("dedup.minhash: finds planted near-dups, none across unrelated") {
+    val base = (0 until 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (0 until 57).map(i => s"token$i").mkString(" ") + " x1 x2 x3"
+    val unrelated = (100 until 160).map(i => s"token$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+      .toDF("id", "text")
+      .select($"id", GraftFunctions.tokenHashes($"text").as("hs"))
+    val pairs = Dedup.minhashPairs(spark, df, numPerms = 128, bands = 32,
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical -> J=1, always found
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // J = 57/63 ≈ 0.90
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedup.simhash: identical docs collide, unrelated don't pass") {
+    val a = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val b = (200 until 280).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "text")
+      .select($"id", GraftFunctions.tokenHashes($"text").as("hs"))
+    val pairs = Dedup.simhashPairs(spark, df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ann: lsh recall >= 0.6 of brute-force top-5 on clustered vectors") {
+    // 10 clusters of 30 vectors each; neighbors are intra-cluster
+    val vecs = (0 until 300).map { i =>
+      val c = i % 10
+      val v = Array.tabulate(16) { d =>
+        val center = if (d % 10 == c) 5.0f else 0.0f
+        center + ((Hashing.hashLong(i * 16L + d, 5L) & 0xFF) / 256.0f - 0.5f)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(spark, vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(spark, vecs, queries, "vec_id", "embedding", 5, nBits = 6)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall")
+  }
+
+  test("ann: brute force is exact (oracle agreement on tiny case)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val res = Ann.bruteForceTopK(spark, vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(res.toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("langid: near-perfect on vocab-separable synthetic corpus") {
+    val docs = graft.synth.Corpus.df(spark, 600, numRepos = 16, partitions = 4)
+    val out = TextStats.langId(spark, docs, docs, "path", "content", "lang")
+      .withColumn("hit", ($"lang" === $"predicted_lang").cast("int"))
+    // path is not long-castable; langId casts idCol to long -> use row count
+    val acc = out.agg(avg($"hit")).first().getDouble(0)
+    assert(acc >= 0.95, s"langid accuracy $acc")
+  }
+
+  test("token stats + quality signals agree with direct computation") {
+    val df = Seq((1L, " the quick  brown the ")).toDF("doc_id", "text")
+    val ts = TextStats.tokenStats(df, "doc_id", "text").first()
+    assert(ts.getLong(1) == 4 && ts.getLong(2) == 3) // tokens, distinct
+    assert(ts.getLong(3) == 2) // stopwords ("the" twice)
+    assert(ts.getLong(4) == 3 + 5 + 5 + 3)
+    val qs = TextStats.qualitySignals(df, "doc_id", "text").first()
+    assert(qs.getLong(1) == 22) // chars
+    assert(qs.getLong(2) == 16) // letters
+  }
+
+  test("multimodal: stub features have the right shape and determinism") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .sortBy(_.doc_id)
+    assert(feats.length == 2)
+    assert(feats(0).feature.length == 8)
+    assert(feats(0).n_bytes == 11 && feats(1).n_bytes == 0)
+    val again = Multimodal.extractFeatures(spark, media).collect()
+      .sortBy(_.doc_id)
+    assert(feats(0).feature.sameElements(again(0).feature))
+  }
+}

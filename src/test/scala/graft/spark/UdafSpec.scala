@@ -1,0 +1,110 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Hashing
+import graft.core.sketch.{CountMin, Hll, Kll}
+
+/**
+ * Exact-oracle equivalence of the sketch UDAFs inside real Spark plans,
+ * plus partition-split invariance (the distributed form of the ScalaCheck
+ * merge properties) — the north-rule "verified against exact Spark SQL
+ * answers" requirement.
+ */
+class UdafSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hashDs(n: Int) = {
+    // one array per row, 20 hashes each, ~30% duplicates across rows
+    (0 until n).map { i =>
+      Array.tabulate(20)(j => Hashing.hashLong((i * 13 + j) % (n * 14L), 7L))
+    }.toDF("hs")
+  }
+
+  test("hll udaf: estimate within bound; invariant across partitionings") {
+    val df = hashDs(2000).cache()
+    val exact = df.select(explode($"hs").as("h")).distinct().count()
+    val ests = Seq(1, 3, 16).map { p =>
+      df.repartition(p).agg(GraftFunctions.hllCount($"hs", 12)).first().getLong(0)
+    }
+    assert(ests.distinct.size == 1, s"partitioning changed the estimate: $ests")
+    val bound = 3 * 1.04 / math.sqrt(4096.0)
+    assert(math.abs(ests.head - exact).toDouble / exact <= bound)
+    df.unpersist()
+  }
+
+  test("hll udaf groupBy: per-group sketches match per-group exact") {
+    val df = (0 until 1000).map { i =>
+      (s"g${i % 5}", Array.tabulate(10)(j => Hashing.hashLong(i * 10L + j % 7, 3L)))
+    }.toDF("g", "hs").cache()
+    val est = df.groupBy("g").agg(GraftFunctions.hllCount($"hs", 14).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = df.select($"g", explode($"hs").as("h")).distinct()
+      .groupBy("g").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n).toDouble / n <= 3 * 1.04 / 128.0 + 0.01,
+        s"group $g: est=${est(g)} exact=$n")
+    }
+    df.unpersist()
+  }
+
+  test("cms udaf: never under, within eps*N, split-invariant") {
+    val df = hashDs(500).cache()
+    val bytes = Seq(1, 4, 11).map { p =>
+      df.repartition(p).agg(GraftFunctions.cmsSketch($"hs", 5, 2048))
+        .first().getAs[Array[Byte]](0)
+    }
+    val sketches = bytes.map(CountMin.fromBytes)
+    assert(sketches.map(_.counts.toSeq).distinct.size == 1,
+      "CMS counters differ across partitionings")
+    val cms = sketches.head
+    val exact = df.select(explode($"hs").as("h")).groupBy("h").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    exact.foreach { case (h, c) =>
+      val e = cms.estimate(h)
+      assert(e >= c && e <= c + cms.eps * cms.total, s"h=$h c=$c e=$e")
+    }
+    df.unpersist()
+  }
+
+  test("kll udaf: quantiles near exact percentiles, any partitioning") {
+    val df = (1 to 50000).map(i => math.sqrt(i.toDouble)).toDF("v").cache()
+    val qs = Array(0.1, 0.5, 0.9)
+    Seq(1, 4).foreach { p =>
+      val got = df.repartition(p)
+        .agg(GraftFunctions.kllQuantiles($"v", qs, 256))
+        .first().getAs[scala.collection.Seq[Double]](0)
+      val exact = df.stat.approxQuantile("v", qs, 0.0) // exact when rel=0
+      qs.indices.foreach { i =>
+        val rank = df.filter($"v" <= got(i)).count() / 50000.0
+        assert(math.abs(rank - qs(i)) <= 0.03,
+          s"p=$p q=${qs(i)} est=${got(i)} (exact ${exact(i)}) rank=$rank")
+      }
+    }
+    df.unpersist()
+  }
+
+  test("bloom udaf: zero FN through a real aggregation") {
+    val df = hashDs(300).cache()
+    val bytes = df.agg(GraftFunctions.bloomSketch($"hs", 1 << 16, 5))
+      .first().getAs[Array[Byte]](0)
+    val bloom = graft.core.sketch.Bloom.fromBytes(bytes)
+    val all = df.select(explode($"hs").as("h")).distinct()
+      .collect().map(_.getLong(0))
+    assert(bloom.countContained(all) == all.length)
+    df.unpersist()
+  }
+
+  test("sql registration works end-to-end") {
+    GraftFunctions.register(spark)
+    spark.createDataset(Seq("alpha beta gamma alpha")).toDF("text")
+      .createOrReplaceTempView("t_reg")
+    val arr = spark.sql(
+      "select graft_shingles(text, 4, 4), graft_token_hashes(text) from t_reg")
+      .first()
+    assert(arr.getAs[scala.collection.Seq[Long]](0).nonEmpty)
+    assert(arr.getAs[scala.collection.Seq[Long]](1).size == 3) // distinct tokens
+  }
+}
