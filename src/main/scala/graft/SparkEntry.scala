@@ -197,16 +197,22 @@ object SparkEntry {
       import s.implicits._
       val li = t(s, dir, "lineitem").select(col("l_extendedprice")).cache()
       val qs = Array(0.1, 0.25, 0.5, 0.75, 0.9)
-      val quants = li.agg(GraftFunctions
-        .kllQuantiles(col("l_extendedprice"), qs, 256).as("v"))
-        .head().getAs[scala.collection.Seq[Double]](0)
+      val both = li.agg(
+        GraftFunctions.kllQuantiles(col("l_extendedprice"), qs, 256).as("kll"),
+        GraftFunctions.tdigestQuantiles(col("l_extendedprice"), qs, 100.0)
+          .as("td")).head()
+      val kll = both.getAs[scala.collection.Seq[Double]](0)
+      val td = both.getAs[scala.collection.Seq[Double]](1)
       val n = li.count().toDouble
       val bound = math.max(1.65 * 2.3 / 256, 10.0 / n)
-      val checks = qs.zip(quants).map { case (q, est) =>
-        val below = li.filter(col("l_extendedprice") <= est).count() / n
-        (q, math.abs(below - q) <= bound)
+      val tdBound = math.max(graft.core.sketch.TDigest.rankErrorBound(100.0), 10.0 / n)
+      val checks = qs.indices.map { i =>
+        val rank = (est: Double) =>
+          li.filter(col("l_extendedprice") <= est).count() / n
+        (qs(i), math.abs(rank(kll(i)) - qs(i)) <= bound,
+          math.abs(rank(td(i)) - qs(i)) <= tdBound)
       }
-      s.createDataset(checks.toSeq).toDF("q", "ok")
+      s.createDataset(checks).toDF("q", "ok", "ok_td")
     }),
 
     "q15_bloom_bins" -> ((s, dir) => {
@@ -438,7 +444,7 @@ object SparkEntry {
         |GROUP BY tok ORDER BY exact_cnt DESC, tok ASC LIMIT 20""".stripMargin,
 
     "q14_kll_quantiles" ->
-      """SELECT CAST(q AS DOUBLE) AS q, true AS ok
+      """SELECT CAST(q AS DOUBLE) AS q, true AS ok, true AS ok_td
         |FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS v(q)""".stripMargin,
 
     "q15_bloom_bins" ->

@@ -27,25 +27,86 @@ final case class IbfPlan(
     maxBinHashes: Long,
     expectedMaxFp: Double)
 
+/** Broadcastable probe side of the classify join: flat IBF or the
+  * two-level (HIBF-like) layout — Classify is layout-agnostic. */
+trait ProbeDb extends Serializable {
+  def targets: Array[String]
+  def targetHashes: Array[Long]
+  def params: IbfParams
+  def plan: IbfPlan
+  /** Expected single-probe FPR of bin `bin` given its load. */
+  def binFpr(bin: Int): Double
+  /** Count hash membership per bin into `counts` (len >= targets.length).
+    * `cutoff` is the per-read threshold known BEFORE probing — two-level
+    * layouts use it to prune whole groups (the reference's HIBF pushdown,
+    * hierarchical_interleaved_bloom_filter.hpp:433-460). */
+  def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit
+  def sizeBytes: Long
+  @transient lazy val targetIndex: Map[String, Int] = targets.zipWithIndex.toMap
+}
+
 /**
- * The broadcastable sketch database: interleaved Bloom + bin metadata
- * (role of ganon's serialized (IBFConfig, hashes_count, bin_map, ibf) —
- * src/ganon-build/GanonBuild.cpp:251-288).
+ * The flat sketch database: one interleaved Bloom over all bins + bin
+ * metadata (role of ganon's serialized (IBFConfig, hashes_count, bin_map,
+ * ibf) — src/ganon-build/GanonBuild.cpp:251-288).
  */
 final class SketchDb(
     val ibf: InterleavedBloom,
     val targets: Array[String],       // bin index -> target name
     val targetHashes: Array[Long],    // bin index -> estimated distinct hashes
     val params: IbfParams,
-    val plan: IbfPlan) extends Serializable {
+    val plan: IbfPlan) extends ProbeDb {
 
-  @transient lazy val targetIndex: Map[String, Int] = targets.zipWithIndex.toMap
-
-  /** Per-bin expected single-probe FPR given its load. */
   def binFpr(bin: Int): Double =
     Bloom.falsePositiveRate(plan.bitsPerBin, plan.numHashes, targetHashes(bin))
 
+  def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit =
+    ibf.bulkCount(hashes, counts)
+
   def sizeBytes: Long = ibf.sizeBytes
+}
+
+/**
+ * Two-level (HIBF-like) layout: a coarse IBF over bin GROUPS prunes which
+ * fine shards to probe. The coarse bin of group g contains the UNION of
+ * its member bins' hashes, so coarseCount(g) >= count(any member) — if the
+ * group's coarse count is below the read's cutoff, every member bin is
+ * below it too and the whole shard is skipped with zero false negatives
+ * (FPs only inflate coarse counts, which only costs pruning power).
+ * Executor memory: only the coarse IBF must stay hot; shards are
+ * independent blobs (loadable lazily from the sketch store at real scale).
+ */
+final class TwoLevelSketchDb(
+    val coarse: InterleavedBloom,          // bins = groups
+    val shards: Array[InterleavedBloom],   // one fine IBF per group
+    val groupBins: Array[Array[Int]],      // group -> global bin indices
+    val targets: Array[String],
+    val targetHashes: Array[Long],
+    val params: IbfParams,
+    val plan: IbfPlan) extends ProbeDb {
+
+  def binFpr(bin: Int): Double =
+    Bloom.falsePositiveRate(plan.bitsPerBin, plan.numHashes, targetHashes(bin))
+
+  def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
+    val gc = new Array[Int](shards.length)
+    coarse.bulkCount(hashes, gc)
+    var g = 0
+    while (g < shards.length) {
+      if (gc(g) >= cutoff) {
+        val local = new Array[Int](groupBins(g).length)
+        shards(g).bulkCount(hashes, local)
+        var i = 0
+        while (i < local.length) {
+          counts(groupBins(g)(i)) += local(i)
+          i += 1
+        }
+      }
+      g += 1
+    }
+  }
+
+  def sizeBytes: Long = coarse.sizeBytes + shards.map(_.sizeBytes).sum
 }
 
 /**
@@ -160,6 +221,81 @@ object SketchBuild {
     }
     val ibf = InterleavedBloom.fromBins(merged.toSeq, targets.length)
     new SketchDb(ibf, targets, counts, p, thePlan)
+  }
+
+  /**
+   * Two-level build: fine per-target bins grouped `groupSize` at a time
+   * under a coarse union-Bloom layer (the HIBF shape, re-derived). One
+   * extra aggregation pass over the same repartitioned content computes
+   * the coarse bins (their union cardinality needs a larger filter).
+   */
+  def buildTwoLevel(spark: SparkSession, df: DataFrame, targetCol: String,
+      contentCol: String, p: IbfParams = IbfParams(), groupSize: Int = 64,
+      checkpointDir: Option[String] = None): TwoLevelSketchDb = {
+    import spark.implicits._
+    val flat = build(spark, df, targetCol, contentCol, p, checkpointDir)
+    val targets = flat.targets
+    val nGroups = (targets.length + groupSize - 1) / groupSize
+    val groupBins = Array.tabulate(nGroups)(g =>
+      (g * groupSize until math.min((g + 1) * groupSize, targets.length)).toArray)
+    val groupOfTarget = targets.indices
+      .map(i => targets(i) -> (i / groupSize)).toMap
+
+    // coarse sizing: worst-case union = sum of member cardinalities
+    val groupN = groupBins.map(_.map(flat.targetHashes).sum)
+    val coarseMaxN = math.max(1L, (groupN.max * 1.05).toLong)
+    val coarseM = Bloom.optimalBits(coarseMaxN, p.maxFp)
+    val coarseH = math.min(16, Bloom.optimalHashes(coarseM, coarseMaxN))
+
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val g2 = spark.createDataFrame(groupOfTarget.toSeq).toDF("target", "grp")
+    val coarseRows = checkpointed(spark, checkpointDir, "pass3_coarse_bins") {
+      df.select(col(targetCol).as("target"), col(contentCol).as("__content"))
+        .join(broadcast(g2), Seq("target"))
+        .withColumn("salt", pmod(xxhash64(col("__content")), lit(parts.toLong)))
+        .repartition(parts, col("grp"), col("salt"))
+        .select(col("grp"), col("salt"),
+          GraftFunctions.shingles(col("__content"), p.k, p.w, p.seed).as("hs"))
+        .groupBy("grp", "salt")
+        .agg(GraftFunctions.bloomSketch(col("hs"), coarseM, coarseH).as("bloom"))
+    }
+    val coarseMerged = new scala.collection.mutable.HashMap[Int, Bloom]()
+    coarseRows.select("grp", "bloom").collect().foreach { r =>
+      val g = r.getInt(0)
+      val b = Bloom.fromBytes(r.getAs[Array[Byte]](1))
+      coarseMerged.get(g) match {
+        case Some(acc) => acc.merge(b)
+        case None      => coarseMerged.put(g, b)
+      }
+    }
+    val coarse = InterleavedBloom.fromBins(coarseMerged.toSeq, nGroups)
+
+    // fine shards: re-slice the flat IBF's source bins per group. We rebuild
+    // them from the flat IBF directly: probe layout is identical, so we
+    // extract each bin's column back into a Bloom and re-interleave locally.
+    val shards = groupBins.map { bins =>
+      val local = bins.zipWithIndex.map { case (globalBin, li) =>
+        (li, extractBin(flat.ibf, globalBin))
+      }
+      InterleavedBloom.fromBins(local.toSeq, bins.length)
+    }
+    new TwoLevelSketchDb(coarse, shards, groupBins, targets,
+      flat.targetHashes, p, flat.plan)
+  }
+
+  /** Pull one bin's bit-column out of an interleaved filter as a Bloom. */
+  private def extractBin(ibf: InterleavedBloom, bin: Int): Bloom = {
+    val b = Bloom.empty(ibf.bitsPerBin, ibf.numHashes)
+    val word = bin >>> 6
+    val bit = 1L << (bin & 63)
+    var p = 0L
+    while (p < ibf.bitsPerBin) {
+      if ((ibf.words((p * ibf.wordsPerRow + word).toInt) & bit) != 0L)
+        b.words((p >>> 6).toInt) |= (1L << (p & 63))
+      p += 1
+    }
+    b
   }
 
   private def checkpointed(spark: SparkSession, dir: Option[String],

@@ -3,7 +3,7 @@ package graft.classify
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.build.SketchDb
+import graft.build.ProbeDb
 import graft.core.{Lca, MathFns}
 
 /** Per-read thresholds — same semantics & defaults as the reference
@@ -45,7 +45,7 @@ object Classify {
    * Returns the per-read results dataset (one row per read).
    */
   def classify(spark: SparkSession, reads: DataFrame, idCol: String,
-      contentCol: String, db: SketchDb, cp: ClassifyParams = ClassifyParams(),
+      contentCol: String, db: ProbeDb, cp: ClassifyParams = ClassifyParams(),
       lcaOpt: Option[Lca] = None): Dataset[ReadResult] = {
     import spark.implicits._
     val dbB = spark.sparkContext.broadcast(db)
@@ -70,7 +70,7 @@ object Classify {
   }
 
   private[classify] def classifyOne(id: String, contentLen: Int,
-      hs: Array[Long], d: SketchDb, cp: ClassifyParams, lca: Option[Lca],
+      hs: Array[Long], d: ProbeDb, cp: ClassifyParams, lca: Option[Lca],
       counts: Array[Int]): ReadResult = {
     if (contentLen < math.max(cp.minLen, d.params.w))
       return ReadResult(id, 0, Array.empty, null, unique = false, skipped = true)
@@ -78,11 +78,11 @@ object Classify {
     if (n == 0 || n > cp.maxHashesPerRead) // counter-overflow skip (uint16 rule)
       return ReadResult(id, n, Array.empty, null, unique = false, skipped = true)
 
-    java.util.Arrays.fill(counts, 0)
-    d.ibf.bulkCount(hs, counts)
-
-    // rel-cutoff: count >= max(1, ceil(n * relCutoff))
+    // rel-cutoff: count >= max(1, ceil(n * relCutoff)) — known BEFORE the
+    // probe, so two-level layouts can prune whole shards with it
     val cutoff = math.max(1, math.ceil(n * cp.relCutoff).toInt)
+    java.util.Arrays.fill(counts, 0)
+    d.probe(hs, counts, cutoff)
     var maxC = 0; var minC = Int.MaxValue; var nSurv = 0
     var b = 0
     while (b < counts.length) {
@@ -182,7 +182,7 @@ object Classify {
    * no anti-join shuffle needed because assignment status is row-local.
    */
   def cascade(spark: SparkSession, reads: DataFrame, idCol: String,
-      contentCol: String, levels: Seq[(String, SketchDb)],
+      contentCol: String, levels: Seq[(String, ProbeDb)],
       cp: ClassifyParams = ClassifyParams(),
       lcaOpt: Option[Lca] = None): DataFrame = {
     import spark.implicits._

@@ -39,12 +39,13 @@ object Em {
 
     // init probs from unique counts (+1 smoothing so zero-unique targets
     // can still attract reads, as reassign.py's eps does)
-    var probs = uniques.groupBy("target")
-      .agg((count(lit(1)) + 1).cast("double").as("p"))
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // unique-match counts are loop-invariant: collect once (|targets| rows)
+    val uniqueCounts = uniques.groupBy("target").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val allTargets = matches.select("target").distinct()
       .collect().map(_.getString(0))
-    probs = allTargets.map(t => t -> probs.getOrElse(t, 1.0)).toMap
+    var probs = allTargets
+      .map(t => t -> (uniqueCounts.getOrElse(t, 0L) + 1.0)).toMap
 
     var assigned: DataFrame = null
     var iter = 0
@@ -62,8 +63,6 @@ object Em {
         .filter(col("rn") === 1)
         .select("read_id", "target", "kmer_count")
       val counts = assigned.groupBy("target").agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-      val uniqueCounts = uniques.groupBy("target").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       val totals = allTargets.map(t =>
         t -> (counts.getOrElse(t, 0L) + uniqueCounts.getOrElse(t, 0L) + 1.0))

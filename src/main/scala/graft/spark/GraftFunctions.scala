@@ -74,6 +74,13 @@ object GraftFunctions {
   def kllQuantiles(value: Column, qs: Array[Double], k: Int = 256): Column =
     udaf(new KllQuantilesAgg(k, qs)).apply(value)
 
+  def tdigestSketch(value: Column, compression: Double = 100.0): Column =
+    udaf(new TDigestSketchAgg(compression)).apply(value)
+
+  def tdigestQuantiles(value: Column, qs: Array[Double],
+      compression: Double = 100.0): Column =
+    udaf(new TDigestQuantilesAgg(compression, qs)).apply(value)
+
   // ---- SQL registration --------------------------------------------------
 
   /** Register the engine's functions for spark.sql use. */

@@ -3,7 +3,7 @@ package graft.spark.udaf
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-import graft.core.sketch.{Bloom, CountMin, Hll, Kll}
+import graft.core.sketch.{Bloom, CountMin, Hll, Kll, TDigest}
 
 /**
  * Mergeable sketches as typed Catalyst Aggregators (the north rule's core):
@@ -75,6 +75,29 @@ object SketchAggs {
     def finish(b: Kll): Array[Byte] = b.toBytes
     def bufferEncoder: Encoder[Kll] = Encoders.kryo[Kll]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** t-digest quantile sketch over a double column -> serialized sketch. */
+  class TDigestSketchAgg(compression: Double)
+      extends Aggregator[Double, TDigest, Array[Byte]] {
+    def zero: TDigest = TDigest.empty(compression)
+    def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+    def merge(x: TDigest, y: TDigest): TDigest = x.merge(y)
+    def finish(b: TDigest): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** t-digest -> quantile values at the requested ranks. */
+  class TDigestQuantilesAgg(compression: Double, qs: Array[Double])
+      extends Aggregator[Double, TDigest, Array[Double]] {
+    def zero: TDigest = TDigest.empty(compression)
+    def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+    def merge(x: TDigest, y: TDigest): TDigest = x.merge(y)
+    def finish(b: TDigest): Array[Double] = qs.map(b.quantile)
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
   /** KLL -> quantile values at the requested ranks, in one aggregation. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
-import graft.build.SketchDb
+import graft.build.ProbeDb
 import graft.classify.{Classify, ClassifyParams}
 
 /**
@@ -22,7 +22,7 @@ object StreamClassify {
   /** Per-micro-batch classification: returns a streaming DataFrame of
     * (read_id, target, kmer_count). */
   def matchesStream(spark: SparkSession, stream: DataFrame, idCol: String,
-      contentCol: String, db: SketchDb,
+      contentCol: String, db: ProbeDb,
       cp: ClassifyParams = ClassifyParams()): DataFrame = {
     // Classify.classify is plan-level (select + mapPartitions) — it applies
     // unchanged to a streaming child plan
@@ -33,7 +33,7 @@ object StreamClassify {
   /** Per-event-time-window per-target match counts (adds the watermarked
     * windowed aggregation the reference never had). */
   def windowedCounts(spark: SparkSession, stream: DataFrame, idCol: String,
-      contentCol: String, tsCol: String, db: SketchDb, window_ : String,
+      contentCol: String, tsCol: String, db: ProbeDb, window_ : String,
       watermark: String, cp: ClassifyParams = ClassifyParams()): DataFrame = {
     val withTs = stream.withColumn("__ts", col(tsCol).cast("timestamp"))
     val res = Classify.classify(spark, withTs

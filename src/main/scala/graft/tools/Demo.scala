@@ -33,10 +33,14 @@ object Demo {
       s"repos=${corpus.select("repo").distinct().count()}")
     corpus.groupBy("lang").count().orderBy("lang").show(20, truncate = false)
 
-    // build: bins = repo
+    // build: bins = repo; "two" as arg(1) exercises the HIBF-like layout
     val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
-    val db = SketchBuild.build(spark, corpus, "repo", "content", p)
-    println(s"[demo] db bins=${db.targets.length} bitsPerBin=${db.plan.bitsPerBin} " +
+    val db: graft.build.ProbeDb =
+      if (args.length > 1 && args(1) == "two")
+        SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p,
+          groupSize = 8)
+      else SketchBuild.build(spark, corpus, "repo", "content", p)
+    println(s"[demo] db bins=${db.targets.length} " +
       s"h=${db.plan.numHashes} maxN=${db.plan.maxBinHashes} " +
       f"expFp=${db.plan.expectedMaxFp}%.5f ibfBytes=${db.sizeBytes}")
 

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{IbfParams, SketchBuild}
+import graft.classify.{Classify, ClassifyParams}
+import graft.spark.SparkTestSession
+import graft.synth.Corpus
+
+/** Two-level (HIBF-like) layout: classification must equal the flat IBF's
+  * (coarse pruning is exact — union counts upper-bound member counts),
+  * mirroring the reference's {ibf, hibf} test parameterization
+  * (tests/ganon/integration, SURVEY.md §5). */
+class TwoLevelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val corpus = Corpus.df(spark, 300, numRepos = 20, partitions = 4)
+    .cache()
+  private val p = IbfParams(k = 8, w = 12, maxFp = 0.01)
+
+  test("two-level classify == flat classify (all params)") {
+    val flat = SketchBuild.build(spark, corpus, "repo", "content", p)
+    val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p,
+      groupSize = 6)
+    assert(two.shards.length == (flat.targets.length + 5) / 6)
+    Seq(ClassifyParams(relCutoff = 0.25), ClassifyParams(relCutoff = 0.75))
+      .foreach { cp =>
+        val reads = corpus.limit(120).withColumn("id", $"path")
+        val a = Classify.allMatches(Classify.classify(spark, reads,
+          "id", "content", flat, cp)).collect().map(_.toString).sorted
+        val b = Classify.allMatches(Classify.classify(spark, reads,
+          "id", "content", two, cp)).collect().map(_.toString).sorted
+        assert(a.sameElements(b), s"flat=${a.length} two=${b.length} at $cp")
+      }
+  }
+
+  test("two-level probe prunes: zero counts outside passing groups") {
+    val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p,
+      groupSize = 6)
+    val row = corpus.select("content", "repo").head()
+    val hs = graft.core.Hashing.shingles(row.getString(0), p.k, p.w, p.seed)
+    val counts = new Array[Int](two.targets.length)
+    two.probe(hs, counts, hs.length) // cutoff = full coverage
+    val ownBin = two.targetIndex(row.getString(1))
+    assert(counts(ownBin) == hs.length) // zero FN survives pruning
+  }
+}
