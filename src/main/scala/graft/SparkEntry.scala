@@ -323,6 +323,77 @@ object SparkEntry {
           col("feature")(0) <= 1.0).as("feat_ok")), Seq("doc_id"))
     }),
 
+    "q23_redistribute" -> ((s, dir) => {
+      // push per-lang (internal-node) counts down to (lang,source) leaves
+      // proportional to leaf counts — ganon's shared-read redistribution
+      val docs = t(s, dir, "documents")
+      val leaves = docs.groupBy(col("lang"),
+          concat(col("lang"), lit("/"), col("source")).as("leaf"))
+        .agg(count(lit(1)).as("leaf_direct"))
+      val counts = docs.groupBy(col("lang").as("node"))
+        .agg(count(lit(1)).as("direct_count"))
+        .union(leaves.select(col("leaf").as("node"),
+          col("leaf_direct").as("direct_count")))
+      val leafOf = leaves.select(col("lang").as("node"), col("leaf"),
+          col("leaf_direct"))
+        .union(leaves.select(col("leaf").as("node"), col("leaf"),
+          col("leaf_direct")))
+      graft.report.Report.redistribute(counts, leafOf)
+        .select(col("leaf"),
+          col("redistributed_count").cast("long").as("redistributed_count"))
+    }),
+
+    "q24_size_correction" -> ((s, dir) => {
+      // size-normalized abundance: per-rank totals must be conserved
+      val docs = t(s, dir, "documents")
+      val tre = docs.groupBy(col("lang").as("node"))
+        .agg(count(lit(1)).as("cumulative"))
+        .withColumn("rank_depth", lit(1L))
+      val sizes = docs.groupBy(col("lang").as("node"))
+        .agg(sum(col("n_chars")).as("size"))
+      val corr = graft.report.Report.sizeCorrection(tre, sizes)
+      corr.groupBy("rank_depth")
+        .agg((abs(sum(col("corrected")) - sum(col("cumulative"))) < 1e-6)
+          .as("conserved"))
+        .select(col("rank_depth").cast("long").as("rank_depth"),
+          col("conserved"))
+    }),
+
+    "q25_classify_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val db = SketchBuild.build(s, docs, "lang", "text",
+        IbfParams(k = 8, w = 8, maxFp = 0.001))
+      val res = Classify.classify(s, docs, "doc_id", "text", db,
+        ClassifyParams(relCutoff = 0.25))
+      Classify.stats(res)
+        .select(col("seqs_processed"), col("seqs_classified"),
+          col("seqs_skipped"))
+    }),
+
+    "q26_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (scale path) — approximate, rows-only check;
+      // recall vs brute force asserted in OpsSpec
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(s, emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5, nBits = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    "q27_cascade" -> ((s, dir) => {
+      // hierarchy cascade: build bins from EVEN docs; odd docs that miss
+      // source bins at a strict cutoff fall through to lang bins
+      val docs = t(s, dir, "documents")
+      val build = docs.filter(col("doc_id") % 2 === 0)
+      val query = docs.filter(col("doc_id") % 2 === 1)
+      val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
+      val lvl1 = SketchBuild.build(s, build, "source", "text", p)
+      val lvl2 = SketchBuild.build(s, build, "lang", "text", p)
+      Classify.cascade(s, query, "doc_id", "text",
+        Seq(("1_source", lvl1), ("2_lang", lvl2)),
+        ClassifyParams(relCutoff = 0.6))
+        .select(col("read_id"), col("hierarchy"), col("assignment"))
+    }),
+
     "q22_em_reassign" -> ((s, dir) => {
       // EM on the classify .all relation — rows-only (iterative, no SQL form)
       val docs = t(s, dir, "documents")
@@ -481,6 +552,33 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rn
         |  FROM pairs) WHERE rn <= 5""".stripMargin,
+
+    "q23_redistribute" ->
+      """WITH leaf AS (
+        |  SELECT lang, lang || '/' || source AS leaf, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(c) AS t FROM leaf GROUP BY 1),
+        |langc AS (SELECT lang, COUNT(*) AS lc FROM documents GROUP BY 1),
+        |shares AS (
+        |  SELECT l.leaf, l.c, FLOOR(lc * l.c / t) AS share,
+        |    row_number() OVER (PARTITION BY l.lang
+        |      ORDER BY l.c DESC, l.leaf ASC) AS rn,
+        |    lc - SUM(FLOOR(lc * l.c / t)) OVER (PARTITION BY l.lang)
+        |      AS leftover
+        |  FROM leaf l JOIN tot USING (lang) JOIN langc USING (lang))
+        |SELECT leaf, CAST(c + share +
+        |  (CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS redistributed_count
+        |FROM shares""".stripMargin,
+
+    "q24_size_correction" ->
+      """SELECT CAST(1 AS BIGINT) AS rank_depth, true AS conserved""".stripMargin,
+
+    "q25_classify_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS seqs_processed,
+        |  CAST(COUNT(*) AS BIGINT) AS seqs_classified,
+        |  CAST(0 AS BIGINT) AS seqs_skipped
+        |FROM documents""".stripMargin,
 
     "q20_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -83,38 +83,80 @@ object Hashing {
   def minimizers(content: String, k: Int, w: Int, seed: Long = DefaultSeed): Array[Long] =
     minimizersBytes(content.getBytes(java.nio.charset.StandardCharsets.UTF_8), k, w, seed)
 
+  /**
+   * Fused single pass: rolling k-mer hash + monotone-deque window minimum +
+   * consecutive-repeat suppression, with no intermediate k-mer array — the
+   * per-row hot loop the engine's throughput rides on.
+   */
   def minimizersBytes(content: Array[Byte], k: Int, w: Int,
       seed: Long = DefaultSeed): Array[Long] = {
     require(w >= k, s"window w=$w must be >= k=$k")
-    val hs = kmerHashesBytes(content, k, seed)
-    if (hs.isEmpty) return hs
+    val n = content.length
+    if (n < k || k <= 0) return Array.emptyLongArray
+    val nKmers = n - k + 1
     val kmersPerWin = w - k + 1
-    if (kmersPerWin <= 1 || hs.length <= 1) return sortedDistinct(hs)
-    val nWin = hs.length - kmersPerWin + 1
-    if (nWin <= 0) {
-      // content shorter than one full window but >= k: single window = whole content
-      var m = hs(0); var i = 1
-      while (i < hs.length) { if (uLt(hs(i), m)) m = hs(i); i += 1 }
-      return Array(m)
-    }
-    val out = new Array[Long](nWin)
-    var nOut = 0
-    var lastIdx = -1 // suppress consecutive repeats of the same minimizer
-    val deque = new Array[Int](hs.length) // indices, monotone increasing hash
-    var head = 0; var tail = 0 // [head, tail)
-    var i = 0
-    while (i < hs.length) {
-      while (tail > head && !uLt(hs(deque(tail - 1)), hs(i))) tail -= 1
-      deque(tail) = i; tail += 1
-      if (deque(head) <= i - kmersPerWin) head += 1
-      if (i >= kmersPerWin - 1) {
-        val mi = deque(head)
-        if (mi != lastIdx) { out(nOut) = hs(mi); nOut += 1; lastIdx = mi }
+
+    // P^(k-1) mod 2^64
+    var pk1 = 1L
+    var j = 1
+    while (j < k) { pk1 *= Prime; j += 1 }
+
+    if (kmersPerWin <= 1 || nKmers == 1) {
+      // no windowing: all distinct k-mer hashes (fused rolling loop)
+      val out = new Array[Long](nKmers)
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * Prime + (content(i) & 0xFF); i += 1 }
+      out(0) = mix64(h ^ seed)
+      i = k
+      while (i < n) {
+        h = (h - (content(i - k) & 0xFF) * pk1) * Prime + (content(i) & 0xFF)
+        out(i - k + 1) = mix64(h ^ seed)
+        i += 1
       }
-      i += 1
+      return sortedDistinct(out)
     }
-    sortedDistinct(
-      if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
+
+    // ring deque (power-of-2 capacity, masked indices) over the window
+    val capOut = math.max(1, nKmers - kmersPerWin + 1)
+    val out = new Array[Long](math.min(nKmers, capOut + 1))
+    var nOut = 0
+    var lastIdx = -1
+    var cap = java.lang.Integer.highestOneBit(kmersPerWin)
+    if (cap < kmersPerWin) cap <<= 1
+    val mask = cap - 1
+    val dqIdx = new Array[Int](cap)  // k-mer indices, hashes ascending
+    val dqHash = new Array[Long](cap)
+    var head = 0; var tail = 0 // ring [head, tail), size tail-head <= kmersPerWin
+
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Prime + (content(i) & 0xFF); i += 1 }
+    var kh = mix64(h ^ seed)
+    var ki = 0 // current k-mer index
+    while (true) {
+      // pop dominated entries from the back (unsigned compare)
+      val khu = kh + Long.MinValue
+      while (tail > head && (dqHash((tail - 1) & mask) + Long.MinValue) >= khu)
+        tail -= 1
+      dqIdx(tail & mask) = ki; dqHash(tail & mask) = kh; tail += 1
+      if (dqIdx(head & mask) <= ki - kmersPerWin) head += 1
+      if (ki >= kmersPerWin - 1) {
+        val mi = dqIdx(head & mask)
+        if (mi != lastIdx) { out(nOut) = dqHash(head & mask); nOut += 1; lastIdx = mi }
+      }
+      ki += 1
+      if (ki >= nKmers) {
+        // content shorter than one full window: emit the single min
+        if (nOut == 0) { out(0) = dqHash(head & mask); nOut = 1 }
+        return sortedDistinct(
+          if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
+      }
+      val p = ki + k - 1
+      h = (h - (content(ki - 1) & 0xFF) * pk1) * Prime + (content(p) & 0xFF)
+      kh = mix64(h ^ seed)
+    }
+    Array.emptyLongArray // unreachable
   }
 
   /**

@@ -25,6 +25,26 @@ object KernelBench {
     println(f"[kernel] $n rows in $dt%.3f s = ${n / dt}%.0f rows/s, " +
       f"${totalBytes / dt / 1e6}%.1f MB/s single-thread (acc=$acc)")
 
+    // component costs: raw rolling+mix (no window/dedup) vs full shingles
+    var acc2 = 0L
+    var r2 = 0
+    while (r2 < 2) {
+      var i2 = 0
+      while (i2 < n) {
+        val hs = Hashing.kmerHashesBytes(bytes(i2), 19)
+        acc2 += hs(hs.length - 1); i2 += 1
+      }
+      r2 += 1
+    }
+    val tk0 = System.nanoTime()
+    var i3 = 0
+    while (i3 < n) {
+      val hs = Hashing.kmerHashesBytes(bytes(i3), 19)
+      acc2 += hs(hs.length - 1); i3 += 1
+    }
+    val dtk = (System.nanoTime() - tk0) / 1e9
+    println(f"[kernel] kmer-only: ${totalBytes / dtk / 1e6}%.1f MB/s 1T (acc=$acc2)")
+
     // multi-thread scaling of the same loop (JVM-level, no Spark)
     Seq(2, 8, 32).foreach { t =>
       val th0 = System.nanoTime()
