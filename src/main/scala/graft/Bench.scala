@@ -79,6 +79,7 @@ object Bench {
     sparkSmall.stop()
 
     val sparkLarge = session(nLarge)
+    val collector = graft.metrics.TaskMetricsCollector.attach(sparkLarge)
     val (corpusL, files, bytes) = makeCorpus(sparkLarge, benchRows, nLarge)
     corpusJob(sparkLarge, corpusL.limit(10000)) // warm new exec threads
     val tLarge = (1 to reps).map(_ => corpusJob(sparkLarge, corpusL)).min
@@ -112,9 +113,17 @@ object Bench {
       s"""{"n_small":$nSmall,"n_large":$nLarge,"sec_at_n":${f(tSmall)},""" +
       s""""sec_at_4n":${f(tLarge)},"gbps_at_n":${f(rSmall)},""" +
       s""""gbps_at_4n":${f(rLarge)},"efficiency":${f(efficiency)}}"""
+    // per-task lineage+metrics (north rule): JSONL next to the bench output
+    collector.dump("/tmp/graft_task_metrics.jsonl")
+    val mt = collector.totals
+    val metrics = s"""{"tasks":${mt("tasks")},""" +
+      s""""shuffle_read_bytes":${mt("shuffle_read_bytes")},""" +
+      s""""shuffle_write_bytes":${mt("shuffle_write_bytes")},""" +
+      s""""disk_spilled":${mt("disk_spilled")},""" +
+      s""""dump":"/tmp/graft_task_metrics.jsonl"}"""
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","throughput":$throughput,""" +
-      s""""scaling":$scaling}""")
+      s""""scaling":$scaling,"task_metrics":$metrics}""")
     spark.stop()
   }
 }
