@@ -1,0 +1,92 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.{IbfParams, ProbeDb, SketchBuild, SketchDb, TwoLevelSketchDb}
+import graft.classify.{Classify, ClassifyParams, Em, ReadResult}
+import graft.core.Lca
+import graft.io.{Formats, SketchStore}
+import graft.report.{Report, Table}
+
+/**
+ * The verb-level facade: one entry point per reference command
+ * (ganon's dispatcher src/ganon/ganon.py:14-52 routes build-custom /
+ * classify / reassign / report / table). A reference user maps their
+ * workflow 1:1:
+ *
+ *   ganon build-custom --input-file F     -> Ganon.build(spark, df, ...)
+ *   ganon classify -d db -r reads         -> Ganon.classify(...)
+ *   ganon reassign                        -> Ganon.reassign(...)
+ *   ganon report                          -> Ganon.report(...)
+ *   ganon table                           -> Ganon.table(...)
+ *
+ * plus save/load for the sketch database (the .ibf/.hibf files).
+ */
+object Ganon {
+
+  /** All outputs of one classify run (the .all/.one/.rep/.unc/.sta files). */
+  final case class ClassifyOutput(
+      results: org.apache.spark.sql.Dataset[ReadResult],
+      all: DataFrame, one: DataFrame, rep: DataFrame,
+      unc: DataFrame, sta: DataFrame)
+
+  /** ganon build-custom: group `df` rows by `targetCol`, sketch `contentCol`.
+    * `twoLevel` selects the HIBF-like layout (ganon's --hibf). */
+  def build(spark: SparkSession, df: DataFrame, targetCol: String,
+      contentCol: String, params: IbfParams = IbfParams(),
+      twoLevel: Boolean = false, checkpointDir: Option[String] = None): ProbeDb =
+    if (twoLevel)
+      SketchBuild.buildTwoLevel(spark, df, targetCol, contentCol, params,
+        checkpointDir = checkpointDir)
+    else SketchBuild.build(spark, df, targetCol, contentCol, params,
+      checkpointDir)
+
+  def save(spark: SparkSession, db: ProbeDb, dir: String): Unit = db match {
+    case flat: SketchDb => SketchStore.save(spark, flat, dir)
+    case two: TwoLevelSketchDb => SketchStore.saveTwoLevel(spark, two, dir)
+  }
+
+  def load(spark: SparkSession, dir: String): ProbeDb =
+    SketchStore.loadAny(spark, dir)
+
+  /** ganon classify: one db or a hierarchy of (label, db) levels. */
+  def classify(spark: SparkSession, reads: DataFrame, idCol: String,
+      contentCol: String, db: ProbeDb,
+      params: ClassifyParams = ClassifyParams(),
+      taxonomy: Option[DataFrame] = None): ClassifyOutput = {
+    val lca = taxonomy.map(tax => Lca.build(Formats.taxToParents(tax), "root"))
+    val res = Classify.classify(spark, reads, idCol, contentCol, db, params, lca)
+    ClassifyOutput(res, Classify.allMatches(res), Classify.oneAssignments(res),
+      Classify.report(res), Classify.unclassified(res), Classify.stats(res))
+  }
+
+  /** ganon reassign: EM over the .all relation -> final .one. */
+  def reassign(spark: SparkSession, all: DataFrame, maxIter: Int = 10,
+      threshold: Double = 0.001): DataFrame =
+    Em.reassign(spark, all, maxIter, threshold)
+
+  /** ganon report: cumulative tree from per-node counts + lineage
+    * (optionally size-corrected). */
+  def report(counts: DataFrame, lineage: DataFrame,
+      sizes: Option[DataFrame] = None, minCount: Double = 0,
+      topPercentile: Double = 0): DataFrame = {
+    var tre = Report.tree(counts, lineage)
+    sizes.foreach(sz => tre = Report.sizeCorrection(tre, sz))
+    if (minCount > 0) {
+      val total = counts.agg(sum("direct_count")).first().getLong(0)
+      tre = Report.minCountFilter(tre, minCount, total)
+    }
+    if (topPercentile > 0) tre = Report.topPercentilePerRank(tre, topPercentile)
+    tre
+  }
+
+  /** ganon table: samples x nodes pivot from long-form (sample,node,count). */
+  def table(rep: DataFrame, nodes: Seq[String], percentage: Boolean = false,
+      topK: Int = 0, minFrequency: Int = 0): DataFrame = {
+    var r = rep
+    if (minFrequency > 0) r = Table.minFrequency(r, minFrequency)
+    if (topK > 0) r = Table.topKPerSample(r, topK)
+    Table.pivot(r, nodes, percentage)
+  }
+}
