@@ -148,8 +148,11 @@ object SketchBuild {
     // 5% headroom over the HLL estimate (its 1.04/sqrt(m) error could
     // otherwise undersize the filter and break the FP budget)
     val maxN = math.max(1L, (cards.map(_._2).max * 1.05).toLong)
-    val m = Bloom.optimalBits(maxN, p.maxFp)
-    val h = math.min(16, Bloom.optimalHashes(m, maxN))
+    val m = Bloom.optimalBits(maxN, p.maxFp) // next pow2 (masked probing)
+    // hash count chosen for the UN-rounded size: fewer probes per hash,
+    // and with the larger rounded m the FPR only drops below budget
+    val h = math.min(16,
+      Bloom.optimalHashes(Bloom.optimalBitsExact(maxN, p.maxFp), maxN))
     IbfPlan(cards.length, m, h, maxN, Bloom.falsePositiveRate(m, h, maxN))
   }
 
@@ -245,7 +248,8 @@ object SketchBuild {
     val groupN = groupBins.map(_.map(flat.targetHashes).sum)
     val coarseMaxN = math.max(1L, (groupN.max * 1.05).toLong)
     val coarseM = Bloom.optimalBits(coarseMaxN, p.maxFp)
-    val coarseH = math.min(16, Bloom.optimalHashes(coarseM, coarseMaxN))
+    val coarseH = math.min(16,
+      Bloom.optimalHashes(Bloom.optimalBitsExact(coarseMaxN, p.maxFp), coarseMaxN))
 
     val parts = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)

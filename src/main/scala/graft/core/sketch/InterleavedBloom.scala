@@ -28,9 +28,15 @@ final class InterleavedBloom(
   require(words.length.toLong == bitsPerBin * wordsPerRow,
     s"words=${words.length} expected ${bitsPerBin * wordsPerRow}")
 
+  // mask for power-of-2 bitsPerBin (matches Bloom.pos — interleaving stays
+  // lossless); arbitrary sizes fall back to mod
+  private val rowMask: Long =
+    if ((bitsPerBin & (bitsPerBin - 1)) == 0L) bitsPerBin - 1 else -1L
+
   @inline private def rowOf(h1: Long, h2: Long, i: Int): Int = {
     val x = h1 + i.toLong * h2
-    ((x & Long.MaxValue) % bitsPerBin).toInt
+    (if (rowMask >= 0) x & rowMask
+     else (x & Long.MaxValue) % bitsPerBin).toInt
   }
 
   def add(hash: Long, bin: Int): Unit = {
