@@ -46,6 +46,12 @@ object Report {
     else if (v < 1) tre.filter(col("cumulative") >= lit(v * total))
     else tre.filter(col("cumulative") >= lit(v))
 
+  /** max-count filter, same dual semantics (report.py:766-780). */
+  def maxCountFilter(tre: DataFrame, v: Double, total: Long): DataFrame =
+    if (v <= 0) tre
+    else if (v < 1) tre.filter(col("cumulative") <= lit(v * total))
+    else tre.filter(col("cumulative") <= lit(v))
+
   /** top-percentile per rank (report.py:722-738): keep rows at or above the
     * ceil(p*n)-th largest percentage within their rank_depth. */
   def topPercentilePerRank(tre: DataFrame, p: Double): DataFrame = {
@@ -139,6 +145,22 @@ object Table {
     val w = Window.partitionBy("sample")
       .orderBy(col("count").desc, col("node").asc)
     rep.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** drop all-zero rows/cols of a pivoted table (table.py:416-426):
+    * samples with zero total and node columns never observed. */
+  def trimZeros(pivoted: DataFrame, nodeCols: Seq[String]): DataFrame = {
+    val nonZeroCols = nodeCols.filter { c =>
+      pivoted.agg(sum(col(c))).first().get(0) match {
+        case null => false
+        case v: Long => v != 0L
+        case v: Double => v != 0.0
+        case v => v.toString.toDouble != 0.0
+      }
+    }
+    val rowSum = nonZeroCols.map(col).reduceOption(_ + _).getOrElse(lit(0))
+    pivoted.select((col("sample") +: nonZeroCols.map(col)): _*)
+      .filter(rowSum > 0)
   }
 
   /** keep nodes present in >= m samples (table.py:280-297). */

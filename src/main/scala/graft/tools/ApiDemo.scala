@@ -53,7 +53,12 @@ object ApiDemo {
       .agg(count(lit(1)).as("count"))
     val nodes = corpus.select("repo").distinct().collect()
       .map(_.getString(0)).sorted.toSeq
-    println(s"[api] table rows=${Ganon.table(rep, nodes).count()}")
+    val piv = Ganon.table(rep, nodes)
+    val trimmed = graft.report.Table.trimZeros(piv, nodes)
+    val capped = graft.report.Report.maxCountFilter(
+      Ganon.report(counts, lineage), 0.5, one2.count())
+    println(s"[api] table rows=${piv.count()} trimmedCols=${trimmed.columns.length} " +
+      s"maxCountFiltered=${capped.count()}")
     println("[api] OK")
     spark.stop()
   }

@@ -55,6 +55,22 @@ class ReportEmSpec extends AnyFunSuite {
     assert(top == Set(("a", "s1"), ("a", "s2")))
   }
 
+  test("table: trimZeros drops dead rows and columns") {
+    val piv = Seq(("s1", 3L, 0L), ("s2", 2L, 0L), ("s3", 0L, 0L))
+      .toDF("sample", "a", "b")
+    val out = Table.trimZeros(piv, Seq("a", "b"))
+    assert(out.columns.toSeq == Seq("sample", "a"))
+    assert(out.collect().map(_.getString(0)).toSet == Set("s1", "s2"))
+  }
+
+  test("report: maxCountFilter dual semantics") {
+    val tre = Seq(("a", 90L), ("b", 15L), ("c", 5L)).toDF("node", "cumulative")
+    assert(Report.maxCountFilter(tre, 20, 100)
+      .collect().map(_.getString(0)).toSet == Set("b", "c"))
+    assert(Report.maxCountFilter(tre, 0.1, 100)
+      .collect().map(_.getString(0)).toSet == Set("c"))
+  }
+
   test("em: reassigns multi-matches toward the unique-evidence target") {
     // r1,r2,r3 unique to A; r4,r5 unique to B... and m1..m4 match both
     // with equal counts — EM must send them all to the majority target A
