@@ -30,12 +30,14 @@ object Hashing {
   /** Hash of a single long value (for tokens, keys, salting). */
   @inline def hashLong(x: Long, seed: Long = DefaultSeed): Long = mix64(x ^ seed)
 
-  /** Hash of a string (token) — polynomial + mix, seed-parameterized. */
+  /** Hash of a string (token) — polynomial over UTF-8 BYTES + mix, so it
+    * agrees with the byte-based Catalyst expressions (TokenHashesExpr) on
+    * every input, not just ASCII. */
   def hashString(s: String, seed: Long = DefaultSeed): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var h = seed
     var i = 0
-    val n = s.length
-    while (i < n) { h = h * Prime + s.charAt(i); i += 1 }
+    while (i < b.length) { h = h * Prime + (b(i) & 0xFF); i += 1 }
     mix64(h ^ seed)
   }
 

@@ -52,6 +52,23 @@ object Profile {
         ClassifyParams(relCutoff = 0.25))
         .toDF().agg(sum(size(col("matches")))).first()
     }
+    time("probe-only (no ReadResult)") {
+      import spark.implicits._
+      val dbB = spark.sparkContext.broadcast(db)
+      corpus.select(GraftFunctions.shingles(col("content"), p.k, p.w, p.seed).as("hs"))
+        .as[Array[Long]]
+        .mapPartitions { iter =>
+          val d = dbB.value
+          val counts = new Array[Int](d.targets.length)
+          iter.map { hs =>
+            java.util.Arrays.fill(counts, 0)
+            d.probe(hs, counts, 1)
+            var s = 0L; var i = 0
+            while (i < counts.length) { s += counts(i); i += 1 }
+            s
+          }
+        }.reduce(_ + _)
+    }
     spark.stop()
   }
 }

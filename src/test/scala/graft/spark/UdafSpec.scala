@@ -97,6 +97,33 @@ class UdafSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("expressions agree with core hashing on non-ASCII content") {
+    val texts = Seq("héllo wörld 中文 héllo", "ASCII only text", "αβγ δ  εζ")
+    val df = texts.toDF("text")
+      .select(GraftFunctions.tokenHashes($"text").as("th"),
+        GraftFunctions.shingles($"text", 4, 6).as("sh"))
+      .collect()
+    texts.zip(df).foreach { case (t, row) =>
+      val thExpr = row.getAs[scala.collection.Seq[Long]](0).toArray
+      val thCore = graft.core.Hashing.tokenHashes(t)
+      assert(thExpr.sameElements(thCore), s"token hash mismatch for '$t'")
+      val shExpr = row.getAs[scala.collection.Seq[Long]](1).toArray
+      val shCore = graft.core.Hashing.shingles(t, 4, 6)
+      assert(shExpr.sameElements(shCore), s"shingle mismatch for '$t'")
+    }
+  }
+
+  test("null and empty content flow through the pipeline without error") {
+    val df = Seq((1L, "normal content here"), (2L, ""), (3L, null))
+      .toDF("id", "text")
+    val out = df.select($"id",
+      GraftFunctions.shingles(coalesce($"text", lit("")), 4, 6).as("sh"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[scala.collection.Seq[Long]](1).nonEmpty)
+    assert(out(1).getAs[scala.collection.Seq[Long]](1).isEmpty)
+    assert(out(2).getAs[scala.collection.Seq[Long]](1).isEmpty)
+  }
+
   test("sql registration works end-to-end") {
     GraftFunctions.register(spark)
     spark.createDataset(Seq("alpha beta gamma alpha")).toDF("text")
