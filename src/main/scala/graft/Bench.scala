@@ -17,7 +17,7 @@ import graft.synth.Corpus
  *   SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] (default 32).
  * - `throughput`: sketch-build + classify throughput (files/sec, GB/sec)
  *   on the deterministic synthetic corpus (SPARK_GRAFT_BENCH_ROWS,
- *   default 100k rows).
+ *   default 1.5M rows).
  * - `scaling`: the same corpus job at local[N] and local[4N] on identical
  *   input — the sandbox evidence for the >=0.8 N->4N scaling-efficiency
  *   criterion (no real cluster here, per driver instruction).
@@ -62,7 +62,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1500000").toLong
     // The box advertises 32 CPUs but is 8->32 SMT-capped at ~2.9x (measured
     // with independent busy-loop processes), so the honest N->4N pair is
     // 2->8 — within the machine's linear region. Overridable via env.

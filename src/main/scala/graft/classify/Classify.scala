@@ -175,6 +175,22 @@ object Classify {
       round(avg(size(col("matches"))), 4).as("avg_matches_per_seq"))
   }
 
+  /** Attach the .sta counters as OBSERVED metrics (zero extra pass —
+    * collected piggyback on whatever action the caller runs; the Spark
+    * analog of the reference's thread-summed Total counters,
+    * GanonClassify.cpp:197-247). Returns (instrumented DF, observation). */
+  def observed(results: Dataset[ReadResult])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val df = results.toDF().observe(obs,
+      count(lit(1)).as("seqs_processed"),
+      sum(when(col("assignment").isNotNull, 1L).otherwise(0L))
+        .as("seqs_classified"),
+      sum(when(col("skipped"), 1L).otherwise(0L)).as("seqs_skipped"),
+      sum(size(col("matches"))).as("total_matches"))
+    (df, obs)
+  }
+
   /**
    * Hierarchy cascade (GanonClassify.cpp:811-831): classify against each
    * level's db in order; reads unresolved at level i feed level i+1.

@@ -36,6 +36,10 @@ object ApiDemo {
     val out = Ganon.classify(spark, corpus.withColumn("id", $"path"),
       "id", "content", loaded, ClassifyParams(relCutoff = 0.25), Some(tax))
     out.sta.show(truncate = false)
+    // observed metrics ride the next action — no extra pass
+    val (obsDf, obs) = graft.classify.Classify.observed(out.results)
+    obsDf.count()
+    println(s"[api] observed=${obs.get}")
     val one2 = Ganon.reassign(spark, out.all)
     println(s"[api] reassigned=${one2.count()} classified=${out.one.count()} " +
       s"unclassified=${out.unc.count()}")

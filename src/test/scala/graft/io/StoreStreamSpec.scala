@@ -72,6 +72,17 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("observed metrics ride the action with no extra pass") {
+    val res = graft.classify.Classify.classify(spark,
+      corpus.limit(80).withColumn("id", $"path"), "id", "content", db)
+    val (df, obs) = graft.classify.Classify.observed(res)
+    val n = df.count() // the only action
+    val m = obs.get
+    assert(m("seqs_processed") == n)
+    assert(m("seqs_classified").asInstanceOf[Long] == n) // zero FN
+    assert(m("total_matches").asInstanceOf[Long] >= n)
+  }
+
   test("formats: input-file TSV scan with defaulted targets") {
     val tmp = java.nio.file.Files.createTempFile("graft_if", ".tsv")
     java.nio.file.Files.writeString(tmp,
