@@ -82,7 +82,9 @@ object Bench {
     val collector = graft.metrics.TaskMetricsCollector.attach(sparkLarge)
     val (corpusL, files, bytes) = makeCorpus(sparkLarge, benchRows, nLarge)
     corpusJob(sparkLarge, corpusL.limit(10000)) // warm new exec threads
-    val tLarge = (1 to reps).map(_ => corpusJob(sparkLarge, corpusL)).min
+    // one extra rep at the cheap level: a noise spike here would understate
+    // the 4N throughput (and the efficiency) far more than at the N level
+    val tLarge = (1 to reps + 1).map(_ => corpusJob(sparkLarge, corpusL)).min
     corpusL.unpersist()
     if (nLarge != cpus) sparkLarge.stop()
     val gb = bytes / 1e9

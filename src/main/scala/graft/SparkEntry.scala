@@ -394,6 +394,58 @@ object SparkEntry {
         .select(col("read_id"), col("hierarchy"), col("assignment"))
     }),
 
+    "q28_hll_events" -> ((s, dir) => {
+      // grouped HLL over a second fact table (events): distinct users
+      val ev = t(s, dir, "events")
+      val hashU = udf((x: Long) => Array(Hashing.hashLong(x)))
+      val est = ev.select(col("event_type"), hashU(col("user_id")).as("hs"))
+        .groupBy("event_type")
+        .agg(GraftFunctions.hllCount(col("hs"), 14).as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val bound = 3 * 1.04 / math.sqrt((1 << 14).toDouble)
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact").cast("long").as("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * bound, lit(1.0))).as("ok"))
+    }),
+
+    "q29_kll_grouped" -> ((s, dir) => {
+      import s.implicits._
+      // grouped quantile sketch: median event value per event_type,
+      // rank-checked against the exact per-group rank
+      val ev = t(s, dir, "events").select(col("event_type"), col("value")).cache()
+      val med = ev.groupBy("event_type")
+        .agg(GraftFunctions.kllQuantiles(col("value"), Array(0.5), 256).as("q"))
+        .select(col("event_type"), col("q")(0).as("med"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      val checks = med.map { case (et, m) =>
+        val grp = ev.filter(col("event_type") === et)
+        val n = grp.count().toDouble
+        val rank = grp.filter(col("value") <= m).count() / n
+        (et, math.abs(rank - 0.5) <= math.max(1.65 * 2.3 / 256, 10.0 / n))
+      }
+      s.createDataset(checks.toSeq).toDF("event_type", "ok")
+    }),
+
+    "q30_cms_events" -> ((s, dir) => {
+      import graft.core.sketch.CountMin
+      // CMS frequency of events per user: top-20 users bound-checked
+      val ev = t(s, dir, "events").cache()
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(20)
+      val hashU = udf((x: Long) => Array(Hashing.hashLong(x)))
+      val cmsBytes = ev.select(hashU(col("user_id")).as("hs"))
+        .agg(GraftFunctions.cmsSketch(col("hs"), 7, 8192).as("cms"))
+        .head().getAs[Array[Byte]](0)
+      val cms = CountMin.fromBytes(cmsBytes)
+      val epsN = cms.eps * cms.total
+      val estOf = udf((u: Long) => cms.estimate(Hashing.hashLong(u)))
+      exact.select(col("user_id"), col("exact_cnt").cast("long").as("exact_cnt"),
+        (estOf(col("user_id")) >= col("exact_cnt") &&
+          estOf(col("user_id")) <= col("exact_cnt") + epsN).as("ok"))
+    }),
+
     "q22_em_reassign" -> ((s, dir) => {
       // EM on the classify .all relation — rows-only (iterative, no SQL form)
       val docs = t(s, dir, "documents")
@@ -585,6 +637,19 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q28_hll_events" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q29_kll_grouped" ->
+      """SELECT DISTINCT event_type, true AS ok FROM events""".stripMargin,
+
+    "q30_cms_events" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt, true AS ok
+        |FROM events GROUP BY user_id
+        |ORDER BY exact_cnt DESC, user_id ASC LIMIT 20""".stripMargin,
 
     "q21_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
