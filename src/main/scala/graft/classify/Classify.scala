@@ -175,6 +175,85 @@ object Classify {
       round(avg(size(col("matches"))), 4).as("avg_matches_per_seq"))
   }
 
+  /**
+   * Multi-filter level (GanonClassify.cpp:528-539): probe SEVERAL dbs in
+   * one hierarchy level; a target matched by more than one filter keeps its
+   * MAX count. All dbs must share shingling params. Implemented as one
+   * fused per-read pass over the broadcast dbs — still zero shuffles.
+   */
+  def classifyMultiFilter(spark: SparkSession, reads: DataFrame, idCol: String,
+      contentCol: String, dbs: Seq[ProbeDb],
+      cp: ClassifyParams = ClassifyParams(),
+      lcaOpt: Option[Lca] = None): Dataset[ReadResult] = {
+    require(dbs.nonEmpty)
+    require(dbs.forall(d => d.params.k == dbs.head.params.k &&
+      d.params.w == dbs.head.params.w && d.params.seed == dbs.head.params.seed),
+      "multi-filter dbs must share shingling params")
+    import spark.implicits._
+    val dbsB = spark.sparkContext.broadcast(dbs.toArray)
+    val lcaB = spark.sparkContext.broadcast(lcaOpt)
+    val p0 = dbs.head.params
+    val shExpr = graft.spark.ShinglesExpr.col(
+      coalesce(col(contentCol), lit("")), p0.k, p0.w, p0.seed)
+    reads
+      .select(col(idCol).cast("string").as("read_id"),
+        coalesce(length(col(contentCol)), lit(0)).as("len"), shExpr.as("hs"))
+      .as[(String, Int, Array[Long])]
+      .mapPartitions { iter =>
+        val ds = dbsB.value
+        val lca = lcaB.value
+        val merged = new MergedProbeDb(ds)
+        val counts = new Array[Int](merged.targets.length)
+        iter.map { case (id, len, hs) =>
+          classifyOne(id, len, hs, merged, cp, lca, counts)
+        }
+      }
+  }
+
+  /** View over several dbs: union of targets; per-target count = MAX across
+    * member filters (first filter wins the tax entry on collisions, like
+    * the reference's ordered merge). */
+  private[classify] final class MergedProbeDb(dbs: Array[ProbeDb])
+      extends ProbeDb {
+    val targets: Array[String] = {
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      dbs.foreach(_.targets.foreach(seen += _))
+      seen.toArray
+    }
+    private val idx: Map[String, Int] = targets.zipWithIndex.toMap
+    val targetHashes: Array[Long] = {
+      val out = new Array[Long](targets.length)
+      dbs.reverse.foreach { d => // first db wins -> apply in reverse
+        d.targets.indices.foreach(i => out(idx(d.targets(i))) = d.targetHashes(i))
+      }
+      out
+    }
+    def params: graft.build.IbfParams = dbs.head.params
+    def plan: graft.build.IbfPlan = dbs.head.plan
+    def binFpr(bin: Int): Double = {
+      // max FPR across filters holding this target (conservative)
+      var fp = 0.0
+      val t = targets(bin)
+      dbs.foreach { d =>
+        d.targetIndex.get(t).foreach(b => fp = math.max(fp, d.binFpr(b)))
+      }
+      fp
+    }
+    def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
+      dbs.foreach { d =>
+        val local = new Array[Int](d.targets.length)
+        d.probe(hashes, local, cutoff)
+        var i = 0
+        while (i < local.length) {
+          val g = idx(d.targets(i))
+          if (local(i) > counts(g)) counts(g) = local(i)
+          i += 1
+        }
+      }
+    }
+    def sizeBytes: Long = dbs.map(_.sizeBytes).sum
+  }
+
   /** Attach the .sta counters as OBSERVED metrics (zero extra pass —
     * collected piggyback on whatever action the caller runs; the Spark
     * analog of the reference's thread-summed Total counters,

@@ -48,6 +48,17 @@ object GraftFunctions {
     f(sig)
   }
 
+  /** Paired-read shingles (GanonClassify.cpp:695-700): union of both mates'
+    * minimizer sets, kept in the engine's unsigned-sorted-distinct form. */
+  def pairedShingles(c1: Column, c2: Column, k: Int, w: Int,
+      seed: Long = Hashing.DefaultSeed): Column = {
+    val mergeUdf = udf((a: Array[Long], b: Array[Long]) =>
+      Hashing.sortedDistinct(
+        (Option(a).getOrElse(Array.emptyLongArray) ++
+          Option(b).getOrElse(Array.emptyLongArray))))
+    mergeUdf(shingles(c1, k, w, seed), shingles(c2, k, w, seed))
+  }
+
   /** 64-bit SimHash of a row's token-hash set. */
   val simhashUdf: UserDefinedFunction =
     udf((hs: Array[Long]) => if (hs == null) 0L else SimHash.simhash(hs))

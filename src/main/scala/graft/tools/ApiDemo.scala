@@ -44,6 +44,19 @@ object ApiDemo {
     println(s"[api] reassigned=${one2.count()} classified=${out.one.count()} " +
       s"unclassified=${out.unc.count()}")
 
+    // multi-filter level: split the corpus into two filters over disjoint
+    // repos; every read must still hit its own repo via one of them
+    val even = corpus.filter(xxhash64($"repo") % 2 === 0)
+    val odd = corpus.filter(xxhash64($"repo") % 2 =!= 0)
+    val dbE = Ganon.build(spark, even, "repo", "content", p)
+    val dbO = Ganon.build(spark, odd, "repo", "content", p)
+    val mf = graft.classify.Classify.classifyMultiFilter(spark,
+      corpus.withColumn("id", concat($"repo", lit("#"), $"path")),
+      "id", "content", Seq(dbE, dbO), ClassifyParams(relCutoff = 0.25))
+    val mfSelf = graft.classify.Classify.allMatches(mf)
+      .filter(expr("substring_index(read_id, '#', 1) = target")).count()
+    println(s"[api] multiFilter selfHit=$mfSelf/${corpus.count()}")
+
     val lineage = corpus.select($"repo", $"lang").distinct()
       .select($"repo".as("node"), array(lit("root"), $"lang", $"repo").as("lineage"))
       .union(corpus.select($"lang".as("node"),

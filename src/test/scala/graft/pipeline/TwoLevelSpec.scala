@@ -36,6 +36,40 @@ class TwoLevelSpec extends AnyFunSuite {
       }
   }
 
+  test("multi-filter level: max count per target across filters") {
+    import org.apache.spark.sql.functions._
+    // two filters over disjoint target sets + one shared target
+    val dfA = Seq(("tA", "aa bb cc dd ee"), ("shared", "xx yy zz ww"))
+      .toDF("repo", "content")
+    val dfB = Seq(("tB", "ff gg hh ii"), ("shared", "xx yy"))
+      .toDF("repo", "content")
+    val pp = IbfParams(k = 3, w = 3, maxFp = 0.001)
+    val dbA = SketchBuild.build(spark, dfA, "repo", "content", pp)
+    val dbB = SketchBuild.build(spark, dfB, "repo", "content", pp)
+    val reads = Seq(("r1", "xx yy zz ww")).toDF("id", "content")
+    val res = graft.classify.Classify.classifyMultiFilter(spark, reads,
+      "id", "content", Seq(dbA, dbB),
+      graft.classify.ClassifyParams(relCutoff = 0.2))
+    val m = graft.classify.Classify.allMatches(res)
+      .collect().map(r => (r.getString(1), r.getInt(2))).toMap
+    val n = graft.core.Hashing.shingles("xx yy zz ww", 3, 3).length
+    // shared appears in both filters; A's copy holds the full read -> max=n
+    assert(m("shared") == n, s"got $m expected shared=$n")
+    assert(!m.contains("tB"))
+  }
+
+  test("paired shingles == union of mates' shingle sets") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("aa bb cc", "cc dd ee")).toDF("c1", "c2")
+    val got = df.select(graft.spark.GraftFunctions
+      .pairedShingles(col("c1"), col("c2"), 3, 3).as("hs"))
+      .head().getAs[scala.collection.Seq[Long]](0).toArray
+    val expect = graft.core.Hashing.sortedDistinct(
+      graft.core.Hashing.shingles("aa bb cc", 3, 3) ++
+        graft.core.Hashing.shingles("cc dd ee", 3, 3))
+    assert(got.sameElements(expect))
+  }
+
   test("two-level probe prunes: zero counts outside passing groups") {
     val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p,
       groupSize = 6)
