@@ -280,19 +280,25 @@ object Classify {
       contentCol: String, levels: Seq[(String, ProbeDb)],
       cp: ClassifyParams = ClassifyParams(),
       lcaOpt: Option[Lca] = None): DataFrame = {
-    import spark.implicits._
     var remaining = reads
     var acc: Option[DataFrame] = None
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     levels.foreach { case (label, db) =>
       val res = classify(spark, remaining, idCol, contentCol, db, cp, lcaOpt)
-        .persist()
-      val classified = res.toDF().filter(col("assignment").isNotNull)
+        .toDF().persist()
+      cached += res
+      val classified = res.filter(col("assignment").isNotNull)
         .withColumn("hierarchy", lit(label))
       acc = Some(acc.map(_.unionByName(classified)).getOrElse(classified))
-      val rest = res.toDF().filter(col("assignment").isNull).select("read_id")
+      val rest = res.filter(col("assignment").isNull).select("read_id")
       remaining = remaining.join(rest,
         remaining(idCol).cast("string") === rest("read_id"), "left_semi")
     }
-    acc.getOrElse(spark.emptyDataFrame)
+    // materialize before releasing the per-level caches (they fed the
+    // cascade's anti-join chain; leaking them would pin executor memory)
+    val out = acc.getOrElse(spark.emptyDataFrame).persist()
+    out.count()
+    cached.foreach(_.unpersist())
+    out
   }
 }
