@@ -446,6 +446,11 @@ object SparkEntry {
           estOf(col("user_id")) <= col("exact_cnt") + epsN).as("ok"))
     }),
 
+    "q31_embed_neardup" -> ((s, dir) => {
+      Ann.cosineNearDupPairs(s, t(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.5)
+    }),
+
     "q22_em_reassign" -> ((s, dir) => {
       // EM on the classify .all relation — rows-only (iterative, no SQL form)
       val docs = t(s, dir, "documents")
@@ -650,6 +655,17 @@ object SparkEntry {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt, true AS ok
         |FROM events GROUP BY user_id
         |ORDER BY exact_cnt DESC, user_id ASC LIMIT 20""".stripMargin,
+
+    "q31_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])))) >= 0.5"""
+        .stripMargin,
 
     "q21_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -58,6 +58,32 @@ object Ann {
         col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs (exact): every pair with
+   * cosine >= threshold, id_a < id_b. The corpus broadcasts once and each
+   * partition scores its rows against the broadcast half-matrix — map-side
+   * n^2/2 flops, zero shuffle before the tiny result. For corpora too big
+   * to broadcast, candidate-generate with [[lshTopK]]'s buckets instead.
+   */
+  def cosineNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val all = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val allB = spark.sparkContext.broadcast(all)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val ref = allB.value
+        iter.flatMap { case (id, vec) =>
+          ref.iterator
+            .dropWhile(_._1 <= id)
+            .collect { case (oid, ovec)
+              if dotNorm(vec, ovec) >= threshold => (id, oid) }
+        }
+      }.toDF("id_a", "id_b")
+  }
+
   /** Random-hyperplane LSH signature (nBits signed projections). */
   def lshSignature(dim: Int, nBits: Int, seed: Long = 7L): Array[Float] => Long = {
     // deterministic pseudo-gaussian planes from splitmix64
