@@ -119,7 +119,10 @@ object Hashing {
       return sortedDistinct(out)
     }
 
-    // ring deque (power-of-2 capacity, masked indices) over the window
+    // sliding minimum via recompute-on-expiry: track the current window
+    // minimum (newest wins ties); only when it falls out of the window,
+    // rescan the ring of the last kmersPerWin hashes (amortized ~1 extra
+    // compare/k-mer — beats a deque's pop loop and double writes)
     val capOut = math.max(1, nKmers - kmersPerWin + 1)
     val out = new Array[Long](math.min(nKmers, capOut + 1))
     var nOut = 0
@@ -127,9 +130,9 @@ object Hashing {
     var cap = java.lang.Integer.highestOneBit(kmersPerWin)
     if (cap < kmersPerWin) cap <<= 1
     val mask = cap - 1
-    val dqIdx = new Array[Int](cap)  // k-mer indices, hashes ascending
-    val dqHash = new Array[Long](cap)
-    var head = 0; var tail = 0 // ring [head, tail), size tail-head <= kmersPerWin
+    val ring = new Array[Long](cap) // last kmersPerWin k-mer hashes
+    var minIdx = -1
+    var minU = Long.MaxValue // unsigned-flipped current min
 
     var h = 0L
     var i = 0
@@ -137,20 +140,26 @@ object Hashing {
     var kh = mix64(h ^ seed)
     var ki = 0 // current k-mer index
     while (true) {
-      // pop dominated entries from the back (unsigned compare)
+      ring(ki & mask) = kh
       val khu = kh + Long.MinValue
-      while (tail > head && (dqHash((tail - 1) & mask) + Long.MinValue) >= khu)
-        tail -= 1
-      dqIdx(tail & mask) = ki; dqHash(tail & mask) = kh; tail += 1
-      if (dqIdx(head & mask) <= ki - kmersPerWin) head += 1
-      if (ki >= kmersPerWin - 1) {
-        val mi = dqIdx(head & mask)
-        if (mi != lastIdx) { out(nOut) = dqHash(head & mask); nOut += 1; lastIdx = mi }
+      if (khu <= minU) { minU = khu; minIdx = ki } // newest wins ties
+      else if (minIdx <= ki - kmersPerWin) {
+        // expired: rescan the window, newest-minimal wins
+        var j = ki - kmersPerWin + 1
+        minU = Long.MaxValue
+        while (j <= ki) {
+          val v = ring(j & mask) + Long.MinValue
+          if (v <= minU) { minU = v; minIdx = j }
+          j += 1
+        }
+      }
+      if (ki >= kmersPerWin - 1 && minIdx != lastIdx) {
+        out(nOut) = minU - Long.MinValue; nOut += 1; lastIdx = minIdx
       }
       ki += 1
       if (ki >= nKmers) {
         // content shorter than one full window: emit the single min
-        if (nOut == 0) { out(0) = dqHash(head & mask); nOut = 1 }
+        if (nOut == 0) { out(0) = minU - Long.MinValue; nOut = 1 }
         return sortedDistinct(
           if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
       }

@@ -73,6 +73,33 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("minimizers == brute-force window minimum (randomized equivalence)") {
+    def brute(content: String, k: Int, w: Int): Array[Long] = {
+      val hs = Hashing.kmerHashes(content, k)
+      if (hs.isEmpty) return hs
+      val kpw = w - k + 1
+      if (kpw <= 1 || hs.length == 1) return Hashing.sortedDistinct(hs.clone())
+      val nWin = hs.length - kpw + 1
+      val mins =
+        if (nWin <= 0) Array(hs.minBy(_ ^ Long.MinValue))
+        else Array.tabulate(nWin) { s =>
+          hs.slice(s, s + kpw).minBy(_ ^ Long.MinValue)
+        }
+      Hashing.sortedDistinct(mins)
+    }
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abcdefg "
+    (0 until 200).foreach { _ =>
+      val len = 1 + rnd.nextInt(200)
+      val s = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val k = 2 + rnd.nextInt(6)
+      val w = k + rnd.nextInt(20)
+      val got = Hashing.minimizers(s, k, w)
+      val want = brute(s, k, w)
+      assert(got.toSeq == want.toSeq, s"len=$len k=$k w=$w s='$s'")
+    }
+  }
+
   test("shingle substring containment: shared substring => shared shingles") {
     val common = "public static void main(String[] args) { run(); }"
     val a = "AAA " + common + " BBB"
