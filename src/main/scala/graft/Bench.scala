@@ -37,11 +37,28 @@ object Bench {
     s
   }
 
-  /** Generate + cache the corpus once per session (untimed). */
-  private def makeCorpus(spark: SparkSession, rows: Long, cpus: Int)
+  /** Materialize the corpus ONCE (full parallelism) to parquet; scaling
+    * sessions just read+cache it — generation cost stays out of both the
+    * timed sections and the low-parallelism session's wall clock. */
+  private def stageCorpus(rows: Long): String = {
+    val dir = s"/tmp/graft_bench_corpus_$rows"
+    val ok = new java.io.File(s"$dir/_SUCCESS")
+    if (!ok.exists()) {
+      val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      Corpus.df(s, rows, numRepos = 64, partitions = 128)
+        .write.mode("overwrite").parquet(dir)
+      s.stop()
+    }
+    dir
+  }
+
+  /** Read + cache the staged corpus (untimed). The parquet comes back as
+    * ~128 splits; re-coalesce to the session's working partition count or
+    * the sketch passes pay 4x the partial-aggregation fan-out. */
+  private def makeCorpus(spark: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, Long, Long) = {
-    val corpus = Corpus.df(spark, rows, numRepos = 64,
-      partitions = math.max(cpus * 4, 32)).cache()
+    val parts = math.max(32, spark.sparkContext.defaultParallelism * 4)
+    val corpus = spark.read.parquet(dir).coalesce(parts).cache()
     val files = corpus.count() // force materialization before timing
     val bytes = corpus.agg(sum(octet_length(col("content")))).first().getLong(0)
     (corpus, files, bytes)
@@ -72,27 +89,39 @@ object Bench {
     // best-of-k per level: the sandbox shares CPU with co-tenants, so min
     // is the honest estimate of the machine's capability at each level
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val sparkSmall = session(nSmall)
-    val (corpusS, _, _) = makeCorpus(sparkSmall, benchRows, nSmall)
-    corpusJob(sparkSmall, corpusS.limit(10000)) // warm JIT/classloader
-    val tSmall = (1 to reps).map(_ => corpusJob(sparkSmall, corpusS)).min
-    sparkSmall.stop()
+    val corpusDir = stageCorpus(benchRows)
+    // warm JIT once (classes persist across sessions in this JVM)
+    locally {
+      val w = session(cpus)
+      val (c, _, _) = makeCorpus(w, corpusDir)
+      corpusJob(w, c.limit(10000))
+      w.stop()
+    }
 
-    val sparkLarge = session(nLarge)
-    val collector = graft.metrics.TaskMetricsCollector.attach(sparkLarge)
-    val (corpusL, files, bytes) = makeCorpus(sparkLarge, benchRows, nLarge)
-    corpusJob(sparkLarge, corpusL.limit(10000)) // warm new exec threads
-    // one extra rep at the cheap level: a noise spike here would understate
-    // the 4N throughput (and the efficiency) far more than at the N level
-    val tLarge = (1 to reps + 1).map(_ => corpusJob(sparkLarge, corpusL)).min
-    corpusL.unpersist()
-    if (nLarge != cpus) sparkLarge.stop()
+    // co-tenant noise swings each level 2x between minutes, so N and 4N are
+    // measured as ADJACENT pairs (same noise window); the reported pair is
+    // the fastest-at-4N one, its efficiency from the same window's N time
+    var files = 0L; var bytes = 0L
+    val pairs = (1 to reps).map { _ =>
+      val sS = session(nSmall)
+      val (cS, _, _) = makeCorpus(sS, corpusDir)
+      val tS = corpusJob(sS, cS)
+      sS.stop()
+      val sL = session(nLarge)
+      val (cL, f, b) = makeCorpus(sL, corpusDir)
+      files = f; bytes = b
+      val tL = corpusJob(sL, cL)
+      sL.stop()
+      (tS, tL)
+    }
+    val (tSmall, tLarge) = pairs.minBy(_._2)
     val gb = bytes / 1e9
     val rSmall = gb / tSmall
     val rLarge = gb / tLarge
     val efficiency = rLarge / (rSmall * (nLarge.toDouble / nSmall))
 
-    val spark = if (nLarge == cpus) sparkLarge else session(cpus)
+    val spark = session(cpus)
+    val collector = graft.metrics.TaskMetricsCollector.attach(spark)
 
     // ---- headline queries on the driver-provided SF dir ----
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
