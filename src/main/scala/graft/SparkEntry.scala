@@ -579,8 +579,12 @@ object SparkEntry {
       """SELECT DISTINCT lang, true AS zero_fn, true AS fpr_ok
         |FROM documents""".stripMargin,
 
+    // the oracle expresses the engine's skip rule (len < w=8 -> skipped,
+    // > 65535 hashes i.e. len > 65542 -> uint16 overflow skip) so the
+    // contract is data-independent, not an artifact of this corpus
     "q16_classify_selfhit" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS hit_own
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  (strlen(text) BETWEEN 8 AND 65542) AS hit_own
         |FROM documents""".stripMargin,
 
     "q17_minhash_dups" ->
@@ -633,8 +637,10 @@ object SparkEntry {
 
     "q25_classify_stats" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS seqs_processed,
-        |  CAST(COUNT(*) AS BIGINT) AS seqs_classified,
-        |  CAST(0 AS BIGINT) AS seqs_skipped
+        |  CAST(COUNT(*) FILTER (strlen(text) BETWEEN 8 AND 65542) AS BIGINT)
+        |    AS seqs_classified,
+        |  CAST(COUNT(*) FILTER (strlen(text) < 8 OR strlen(text) > 65542)
+        |    AS BIGINT) AS seqs_skipped
         |FROM documents""".stripMargin,
 
     "q20_stream_window" ->

@@ -105,8 +105,10 @@ object Classify {
     while (b < counts.length) {
       val c = counts(b)
       if (c > 0 && c >= relThresh) {
-        // fpr-query: discard if P(Binom(n, p_bin) >= c) > fprQuery
-        val q = MathFns.binomTailUpper(n.toLong, c.toLong, d.binFpr(b))
+        // fpr-query: discard if P(Binom(n, p_bin) > c) > fprQuery — the
+        // reference computes q = 1 - sum_{i<=c} (GanonClassify.cpp:589-600),
+        // so a full-containment match (c == n) always survives (q = 0)
+        val q = MathFns.binomTailUpper(n.toLong, c + 1L, d.binFpr(b))
         if (q <= cp.fprQuery) out += MatchRow(d.targets(b), c)
       }
       b += 1

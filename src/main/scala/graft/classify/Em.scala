@@ -44,8 +44,12 @@ object Em {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val allTargets = matches.select("target").distinct()
       .collect().map(_.getString(0))
-    var probs = allTargets
-      .map(t => t -> (uniqueCounts.getOrElse(t, 0L) + 1.0)).toMap
+    def normalized(totals: Seq[(String, Double)]): Map[String, Double] = {
+      val z = totals.map(_._2).sum
+      totals.map { case (t, c) => t -> c / z }.toMap
+    }
+    var probs = normalized(allTargets
+      .map(t => t -> (uniqueCounts.getOrElse(t, 0L) + 1.0)).toSeq)
 
     var assigned: DataFrame = null
     var iter = 0
@@ -64,20 +68,38 @@ object Em {
         .select("read_id", "target", "kmer_count")
       val counts = assigned.groupBy("target").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-      val totals = allTargets.map(t =>
-        t -> (counts.getOrElse(t, 0L) + uniqueCounts.getOrElse(t, 0L) + 1.0))
-      val z = totals.map(_._2).sum
-      val newProbs = totals.map { case (t, c) => t -> c / z }.toMap
-      diff = allTargets.map { t =>
-        val z0 = probs.values.sum
-        math.abs(newProbs(t) - probs(t) / z0)
-      }.sum
-      probs = newProbs.map { case (t, p) => t -> p * z } // keep unnormalized scale
+      val newProbs = normalized(allTargets.map(t =>
+        t -> (counts.getOrElse(t, 0L) + uniqueCounts.getOrElse(t, 0L) + 1.0)).toSeq)
+      // L1 distance between consecutive normalized prob vectors — one pass
+      diff = allTargets.iterator.map(t => math.abs(newProbs(t) - probs(t))).sum
+      probs = newProbs
       iter += 1
     }
     val result = uniques.unionByName(
       if (assigned == null) multis.limit(0) else assigned)
     multis.unpersist(); matches.unpersist()
     result
+  }
+
+  /** EM `.one` plus the rewritten `.rep` (reference reassign.py:180-224:
+    * after EM the report's lca column becomes reassigned − unique). Returns
+    * (one, rep) where rep = (target, unique_reads, lca_reads, matches):
+    * unique_reads from single-match reads, lca_reads = EM-reassigned multis,
+    * matches = total `.all` rows per target. */
+  def reassignWithRep(spark: SparkSession, all: DataFrame, maxIter: Int = 10,
+      threshold: Double = 0.001): (DataFrame, DataFrame) = {
+    val one = reassign(spark, all, maxIter, threshold).persist()
+    val nM = all.groupBy("read_id").agg(count(lit(1)).as("n_m"))
+    val uniqueReads = all.join(broadcast(nM.filter(col("n_m") === 1)), Seq("read_id"))
+      .groupBy("target").agg(count(lit(1)).as("unique_reads"))
+    val assignedAll = one.groupBy("target").agg(count(lit(1)).as("assigned"))
+    val matches = all.groupBy("target").agg(count(lit(1)).as("matches"))
+    val rep = matches
+      .join(assignedAll, Seq("target"), "left")
+      .join(uniqueReads, Seq("target"), "left")
+      .na.fill(0L, Seq("assigned", "unique_reads"))
+      .withColumn("lca_reads", col("assigned") - col("unique_reads"))
+      .select("target", "unique_reads", "lca_reads", "matches")
+    (one, rep)
   }
 }

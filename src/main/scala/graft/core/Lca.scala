@@ -29,9 +29,13 @@ final class Lca private (
     if (depthAt(a) <= depthAt(b)) a else b
   }
 
+  private val rootId: Int = idOf(root)
+
   def lca(a: String, b: String): String = {
-    val ia = idOf.getOrElse(a, 0)
-    val ib = idOf.getOrElse(b, 0)
+    // unknown nodes resolve to the ROOT (reference patches missing targets
+    // to root/"no rank" — GanonClassify.cpp:1343-1362), not to node 0
+    val ia = idOf.getOrElse(a, rootId)
+    val ib = idOf.getOrElse(b, rootId)
     var l = first(ia); var r = first(ib)
     if (l > r) { val t = l; l = r; r = t }
     nameOf(eulerNode(rmq(l, r)))

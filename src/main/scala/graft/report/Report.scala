@@ -150,14 +150,17 @@ object Table {
   /** drop all-zero rows/cols of a pivoted table (table.py:416-426):
     * samples with zero total and node columns never observed. */
   def trimZeros(pivoted: DataFrame, nodeCols: Seq[String]): DataFrame = {
-    val nonZeroCols = nodeCols.filter { c =>
-      pivoted.agg(sum(col(c))).first().get(0) match {
+    // ONE aggregation pass for all column sums (not one job per column)
+    val sums = pivoted.agg(
+      nodeCols.head -> "sum", nodeCols.tail.map(_ -> "sum"): _*).first()
+    val nonZeroCols = nodeCols.zipWithIndex.filter { case (_, i) =>
+      sums.get(i) match {
         case null => false
         case v: Long => v != 0L
         case v: Double => v != 0.0
         case v => v.toString.toDouble != 0.0
       }
-    }
+    }.map(_._1)
     val rowSum = nonZeroCols.map(col).reduceOption(_ + _).getOrElse(lit(0))
     pivoted.select((col("sample") +: nonZeroCols.map(col)): _*)
       .filter(rowSum > 0)

@@ -18,6 +18,11 @@ class CoreMiscSpec extends AnyFunSuite {
     assert(lca.lca("f1", "repo-c") == "root")
     assert(lca.lca("repo-a", "scala") == "scala")
     assert(lca.lca("f1", "f1") == "f1")
+    // unknown nodes patch to ROOT (GanonClassify.cpp:1343-1362 semantics),
+    // never to an arbitrary leaf
+    assert(lca.lca("nope-1", "nope-2") == "root")
+    assert(lca.lca("f1", "nope-1") == "root")
+    assert(lca.lcaAll(Seq("f1", "nope-x")) == "root")
   }
 
   test("lca: fold over lists (LCA.hpp:165-174 analog)") {
