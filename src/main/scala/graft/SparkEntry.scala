@@ -221,24 +221,32 @@ object SparkEntry {
       val p = IbfParams(k = 8, w = 8, maxFp = 0.01)
       val db = SketchBuild.build(s, docs, "lang", "text", p)
       val dbB = s.sparkContext.broadcast(db)
-      // zero-FN: every doc's shingles fully hit its own lang bin;
-      // FP: probe per-lang with seeded absent hashes, realized <= 2*maxFp
+      // zero-FN: every doc's shingles fully hit its own lang bin (summed
+      // split-bin count >= n — sibling-bin FPs can only add, never lose);
+      // FP: union-membership over the target's technical bins with seeded
+      // absent hashes, realized <= 2*maxFp (the budget is per TARGET)
       val perLang = docs.select(col("lang"), col("text")).as[(String, String)]
         .mapPartitions { iter =>
           val d = dbB.value
+          val counts = new Array[Int](d.targets.length)
           iter.map { case (lang, text) =>
             val hs = Hashing.shingles(text, p.k, p.w, p.seed)
-            val bin = d.targetIndex(lang)
-            val counts = d.ibf.bulkCount(hs)
-            (lang, counts(bin) == hs.length)
+            java.util.Arrays.fill(counts, 0)
+            d.probe(hs, counts, 1)
+            (lang, counts(d.targetIndex(lang)) >= hs.length)
           }
         }.toDF("lang", "fn_ok")
         .groupBy("lang").agg(min(col("fn_ok")).as("zero_fn"))
       val probes = Array.tabulate(200000)(i => Hashing.hashLong(i + (1L << 41)))
       val fpOf = udf((lang: String) => {
         val d = dbB.value
-        val counts = d.ibf.bulkCount(probes)
-        counts(d.targetIndex(lang)).toDouble / probes.length
+        val t2 = d.targetIndex(lang)
+        var hits = 0; var i = 0
+        while (i < probes.length) {
+          if (d.containsTarget(probes(i), t2)) hits += 1
+          i += 1
+        }
+        hits.toDouble / probes.length
       })
       perLang.select(col("lang"), col("zero_fn"),
         (fpOf(col("lang")) <= 2 * p.maxFp).as("fpr_ok"))

@@ -8,7 +8,8 @@ import graft.core.sketch.{Bloom, InterleavedBloom}
 import graft.spark.GraftFunctions
 
 /** Shingling + filter-sizing parameters (role of ganon's IBFConfig,
-  * src/utils/include/utils/IBFConfig.hpp:5-41). */
+  * src/utils/include/utils/IBFConfig.hpp:5-41). `sizingMode` mirrors the
+  * reference's five optimal_hashes modes (GanonBuild.cpp:565-616). */
 final case class IbfParams(
     k: Int = 19,
     w: Int = 31, // reference defaults: -k 19 -w 31 (config.py); w>k shrinks
@@ -16,27 +17,70 @@ final case class IbfParams(
     seed: Long = Hashing.DefaultSeed,
     maxFp: Double = 0.01,
     hllP: Int = 14,
-    minContentLen: Int = 0)
+    minContentLen: Int = 0,
+    sizingMode: String = "avg")
 
-/** Driver-side sizing result (role of ganon's optimal_hashes planner,
-  * src/ganon-build/GanonBuild.cpp:428-616). */
+/** Driver-side sizing result (role of ganon's IBFConfig after
+  * optimal_hashes, src/ganon-build/GanonBuild.cpp:428-616): numBins is the
+  * TECHNICAL bin count (targets split at maxHashesBin capacity). */
 final case class IbfPlan(
     numBins: Int,
     bitsPerBin: Long,
     numHashes: Int,
-    maxBinHashes: Long,
+    maxHashesBin: Long,
     expectedMaxFp: Double)
 
+/**
+ * Technical-bin layout: target i owns bins [base(i), base(i)+split(i)) —
+ * the role of ganon's bin_map (GanonBuild.cpp:619-653 create_bin_map_hash).
+ * The reference slices each target's hash list by index ranges; we route by
+ * hash VALUE (`routeBin`) so the assignment is a pure per-hash function —
+ * computable on any executor without materializing the sorted list.
+ */
+final case class BinLayout(base: Array[Int], split: Array[Int], numBins: Int)
+    extends Serializable {
+  def numGroups: Int = (numBins + 63) / 64
+  /** Does any target span a 64-bin group boundary? (limits coarse pruning) */
+  lazy val anyGroupSpanning: Boolean = base.indices.exists { i =>
+    (base(i) / 64) != ((base(i) + split(i) - 1) / 64)
+  }
+}
+
+object BinLayout {
+  private val RouteSeed = 0xC2B2AE3D27D4EB4FL
+
+  /** Which of a target's `split` bins hash `h` lives in — deterministic,
+    * uniform, independent of the shingle seed. */
+  @inline def routeBin(h: Long, split: Int): Int =
+    if (split == 1) 0
+    else java.lang.Long.remainderUnsigned(
+      Hashing.mix64(h ^ RouteSeed), split.toLong).toInt
+
+  def fromCounts(counts: Array[Long], maxHashesBin: Long): BinLayout = {
+    val split = counts.map(c =>
+      math.max(1L, (math.max(1L, c) + maxHashesBin - 1) / maxHashesBin).toInt)
+    val base = new Array[Int](counts.length)
+    var acc = 0
+    var i = 0
+    while (i < counts.length) { base(i) = acc; acc += split(i); i += 1 }
+    BinLayout(base, split, acc)
+  }
+}
+
 /** Broadcastable probe side of the classify join: flat IBF or the
-  * two-level (HIBF-like) layout — Classify is layout-agnostic. */
+  * two-level (HIBF-like) layout — Classify is layout-agnostic. `counts`
+  * passed to probe are PER TARGET (split technical bins already summed,
+  * GanonClassify.cpp:517-527 semantics; clamping at n_hashes happens in
+  * the classifier). */
 trait ProbeDb extends Serializable {
   def targets: Array[String]
   def targetHashes: Array[Long]
   def params: IbfParams
   def plan: IbfPlan
-  /** Expected single-probe FPR of bin `bin` given its load. */
-  def binFpr(bin: Int): Double
-  /** Count hash membership per bin into `counts` (len >= targets.length).
+  /** Split-corrected expected FPR of target `t` (GanonClassify.cpp:968-979:
+    * 1 - (1 - fp_bin)^n_bins_target over the average per-bin load). */
+  def binFpr(t: Int): Double
+  /** Count hash membership per TARGET into `counts` (len >= targets.length).
     * `cutoff` is the per-read threshold known BEFORE probing — two-level
     * layouts use it to prune whole groups (the reference's HIBF pushdown,
     * hierarchical_interleaved_bloom_filter.hpp:433-460). */
@@ -45,82 +89,140 @@ trait ProbeDb extends Serializable {
   @transient lazy val targetIndex: Map[String, Int] = targets.zipWithIndex.toMap
 }
 
+/** Shared split-bin bookkeeping for both concrete layouts. */
+private[graft] trait SplitBinDb extends ProbeDb {
+  def layout: BinLayout
+
+  protected def isFlat: Boolean = layout.numBins == targets.length
+
+  // per-target split-corrected fp, precomputed once per executor
+  @transient private lazy val fprByTarget: Array[Double] =
+    Array.tabulate(targets.length) { t =>
+      val s = layout.split(t)
+      val c = math.max(1L, targetHashes(t))
+      val perBin = (c + s - 1) / s
+      val single = Bloom.falsePositiveRate(plan.bitsPerBin, plan.numHashes, perBin)
+      if (s == 1) single else 1.0 - math.pow(1.0 - single, s.toDouble)
+    }
+
+  def binFpr(t: Int): Double = fprByTarget(t)
+
+  // per-thread technical-bin scratch (the broadcast db is shared across
+  // tasks in one executor; per-row allocation would churn the TLAB)
+  @transient protected lazy val techScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](layout.numBins))
+
+  /** Fold technical-bin counts into per-target counts (+=). */
+  protected def foldToTargets(tech: Array[Int], counts: Array[Int]): Unit = {
+    var t = 0
+    while (t < targets.length) {
+      val b0 = layout.base(t)
+      val n = layout.split(t)
+      var acc = 0
+      var s = 0
+      while (s < n) { acc += tech(b0 + s); s += 1 }
+      counts(t) += acc
+      t += 1
+    }
+  }
+}
+
 /**
- * The flat sketch database: one interleaved Bloom over all bins + bin
- * metadata (role of ganon's serialized (IBFConfig, hashes_count, bin_map,
- * ibf) — src/ganon-build/GanonBuild.cpp:251-288).
+ * The flat sketch database: one interleaved Bloom over all TECHNICAL bins
+ * plus the target->bins layout (role of ganon's serialized (IBFConfig,
+ * hashes_count, bin_map, ibf) — src/ganon-build/GanonBuild.cpp:251-288).
  */
 final class SketchDb(
     val ibf: InterleavedBloom,
-    val targets: Array[String],       // bin index -> target name
-    val targetHashes: Array[Long],    // bin index -> estimated distinct hashes
+    val targets: Array[String],       // target index -> name (sorted)
+    val targetHashes: Array[Long],    // target index -> estimated distinct hashes
+    val layout: BinLayout,
     val params: IbfParams,
-    val plan: IbfPlan) extends ProbeDb {
-
-  def binFpr(bin: Int): Double =
-    Bloom.falsePositiveRate(plan.bitsPerBin, plan.numHashes, targetHashes(bin))
+    val plan: IbfPlan) extends SplitBinDb {
 
   def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit =
-    ibf.bulkCount(hashes, counts)
+    if (isFlat) ibf.bulkCount(hashes, counts)
+    else {
+      val tech = techScratch.get()
+      java.util.Arrays.fill(tech, 0)
+      ibf.bulkCount(hashes, tech)
+      foldToTargets(tech, counts)
+    }
+
+  /** Union-membership FPR probe for target `t` (any of its split bins). */
+  def containsTarget(hash: Long, t: Int): Boolean =
+    ibf.containsInBins(hash, layout.base(t), layout.base(t) + layout.split(t))
 
   def sizeBytes: Long = ibf.sizeBytes
 }
 
 /**
- * Two-level (HIBF-like) layout: a coarse IBF over bin GROUPS prunes which
- * fine shards to probe. The coarse bin of group g contains the UNION of
- * its member bins' hashes, so coarseCount(g) >= count(any member) — if the
- * group's coarse count is below the read's cutoff, every member bin is
- * below it too and the whole shard is skipped with zero false negatives
- * (FPs only inflate coarse counts, which only costs pruning power).
+ * Two-level (HIBF-like) layout: a coarse IBF over 64-bin GROUPS prunes
+ * which fine shards to probe. The coarse bin of group g contains the union
+ * of the hashes routed into the group, so coarseCount(g) >= count(any
+ * member bin) — a group below the read's threshold can be skipped with
+ * zero false negatives. When a split target spans groups its total count
+ * is divided between coarse bins, so full-cutoff pruning is only safe for
+ * span-free layouts; otherwise we fall back to presence pruning
+ * (skip only zero-hit groups), which is always lossless.
  * Executor memory: only the coarse IBF must stay hot; shards are
  * independent blobs (loadable lazily from the sketch store at real scale).
  */
 final class TwoLevelSketchDb(
     val coarse: InterleavedBloom,          // bins = groups
-    val shards: Array[InterleavedBloom],   // one fine IBF per group
-    val groupBins: Array[Array[Int]],      // group -> global bin indices
+    val shards: Array[InterleavedBloom],   // one fine IBF per 64-bin group
     val targets: Array[String],
     val targetHashes: Array[Long],
+    val layout: BinLayout,
     val params: IbfParams,
-    val plan: IbfPlan) extends ProbeDb {
+    val plan: IbfPlan) extends SplitBinDb {
 
-  def binFpr(bin: Int): Double =
-    Bloom.falsePositiveRate(plan.bitsPerBin, plan.numHashes, targetHashes(bin))
+  private val groupCutoffSafe = !layout.anyGroupSpanning
 
   def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
     val gc = new Array[Int](shards.length)
     coarse.bulkCount(hashes, gc)
+    val effCutoff = if (groupCutoffSafe) cutoff else 1
+    val tech = techScratch.get()
+    java.util.Arrays.fill(tech, 0)
     var g = 0
     while (g < shards.length) {
-      if (gc(g) >= cutoff) {
-        val local = new Array[Int](groupBins(g).length)
+      if (gc(g) >= effCutoff) {
+        val nLocal = shards(g).numBins
+        val local = new Array[Int](nLocal)
         shards(g).bulkCount(hashes, local)
+        val off = g * 64
         var i = 0
-        while (i < local.length) {
-          counts(groupBins(g)(i)) += local(i)
-          i += 1
-        }
+        while (i < nLocal) { tech(off + i) += local(i); i += 1 }
       }
       g += 1
     }
+    foldToTargets(tech, counts)
   }
 
   def sizeBytes: Long = coarse.sizeBytes + shards.map(_.sizeBytes).sum
 }
 
 /**
- * Two-pass distributed build (Spark shape of ganon-build's two thread
- * pools, src/ganon-build/GanonBuild.cpp:752-921):
+ * Distributed build (Spark shape of ganon-build's two thread pools,
+ * src/ganon-build/GanonBuild.cpp:752-921):
  *
- *   pass 1  groupBy(target).agg(hll(shingles))  -> per-bin cardinalities
- *   driver  size (bitsPerBin, numHashes) under the maxFp budget
- *   pass 2  groupBy(target).agg(bloom(shingles)) -> per-bin Bloom bitsets
- *   driver  interleave bins into the broadcastable IBF
+ *   pass 1  groupBy(target).agg(hll(shingles))   -> per-target cardinalities
+ *   driver  Sizing.optimalHashes: capacity simulation + split-bin layout
+ *   pass 2  route hashes to 64-bin groups map-side, groupBy(grp) building
+ *           one interleaved SHARD per group on executors
+ *   driver  stitch the G shard columns into the broadcastable IBF
+ *           (a strided memcopy of the final filter — no OR-merging, no
+ *           transposing, no per-partition partials on the driver)
  *
- * Both passes are map-side partial-aggregated (sketch merge is
- * associative), so mega-target skew costs no shuffle blowup: each task
- * ships one partial sketch per (target x partition), not one row per hash.
+ * Shuffle discipline: per-row-deduped hash subsets shuffle exactly once,
+ * keyed by group. When numGroups >= parallelism the aggregation is
+ * exchange-free-complete (one task per group, no partial blobs); below
+ * that, map-side partials are bounded by numGroups x shardBytes per task.
+ * Mega-target skew is structurally gone: every technical bin holds at most
+ * ~maxHashesBin hashes, so reducers are load-balanced by construction
+ * (the salting idea, but derived from the same split-bin plan the
+ * reference uses — GanonBuild.cpp:619-653).
  *
  * Checkpointing: with `checkpointDir`, each pass persists its result
  * parquet and is skipped on re-run (resumability per the north rule;
@@ -141,24 +243,76 @@ object SketchBuild {
       .agg(GraftFunctions.hllCount(col("hs"), p.hllP).as("n_hashes"))
   }
 
-  /** Driver-side sizing: one (m,h) for all bins, sized for the largest bin
-    * so every bin's FPR <= maxFp (ganon "max" mode). */
-  def plan(cards: Seq[(String, Long)], p: IbfParams): IbfPlan = {
+  /** Driver-side sizing via the capacity simulation; 5% headroom on the bin
+    * size covers the HLL estimate error (1.04/sqrt(2^p)) so the realized FP
+    * stays within budget even when pass 1 undersized a bin. */
+  def plan(cards: Seq[(String, Long)], p: IbfParams): (IbfPlan, BinLayout) = {
     require(cards.nonEmpty, "no targets to build")
-    // 5% headroom over the HLL estimate (its 1.04/sqrt(m) error could
-    // otherwise undersize the filter and break the FP budget)
-    val maxN = math.max(1L, (cards.map(_._2).max * 1.05).toLong)
-    val m = Bloom.optimalBits(maxN, p.maxFp) // next pow2 (masked probing)
-    // hash count chosen for the UN-rounded size: fewer probes per hash,
-    // and with the larger rounded m the FPR only drops below budget
-    val h = math.min(16,
-      Bloom.optimalHashes(Bloom.optimalBitsExact(maxN, p.maxFp), maxN))
-    IbfPlan(cards.length, m, h, maxN, Bloom.falsePositiveRate(m, h, maxN))
+    val counts = cards.map(_._2).toArray
+    val s = Sizing.optimalHashes(p.maxFp, counts, p.sizingMode)
+    val bits = ((math.ceil(s.binSizeBits * 1.05).toLong + 63) / 64) * 64
+    val layout = BinLayout.fromCounts(counts, s.maxHashesBin)
+    val (maxFpReal, _) =
+      Sizing.trueFalsePositive(counts, s.maxHashesBin, bits, s.hashFunctions)
+    (IbfPlan(layout.numBins, bits, s.hashFunctions, s.maxHashesBin, maxFpReal),
+      layout)
   }
 
   def build(spark: SparkSession, df: DataFrame, targetCol: String,
       contentCol: String, p: IbfParams = IbfParams(),
       checkpointDir: Option[String] = None): SketchDb = {
+    val (cards, thePlan, layout, shardRows) =
+      buildShards(spark, df, targetCol, contentCol, p, checkpointDir,
+        twoLevel = false)
+    val ibf = InterleavedBloom.empty(layout.numBins, thePlan.bitsPerBin,
+      thePlan.numHashes)
+    val w = ibf.wordsPerRow
+    shardRows.foreach { case (g, blob, _) =>
+      val shard = InterleavedBloom.fromBytes(blob)
+      var pos = 0
+      while (pos < thePlan.bitsPerBin) {
+        ibf.words(pos * w + g) = shard.words(pos)
+        pos += 1
+      }
+    }
+    new SketchDb(ibf, cards.map(_._1).toArray, cards.map(_._2).toArray,
+      layout, p, thePlan)
+  }
+
+  /**
+   * Two-level build: the SAME single pass also aggregates one coarse
+   * union-Bloom per 64-bin group (no third scan over the content, no
+   * bin re-extraction); shards are kept as independent per-group filters.
+   */
+  def buildTwoLevel(spark: SparkSession, df: DataFrame, targetCol: String,
+      contentCol: String, p: IbfParams = IbfParams(), groupSize: Int = 64,
+      checkpointDir: Option[String] = None): TwoLevelSketchDb = {
+    require(groupSize == 64, "interleaved layout fixes the group size at 64")
+    val (cards, thePlan, layout, shardRows) =
+      buildShards(spark, df, targetCol, contentCol, p, checkpointDir,
+        twoLevel = true)
+    val nGroups = layout.numGroups
+    val shards = new Array[InterleavedBloom](nGroups)
+    val coarseBins = new Array[(Int, Bloom)](nGroups)
+    shardRows.foreach { case (g, blob, coarseBlob) =>
+      // re-window the 64-wide shard to the group's real bin count
+      val full = InterleavedBloom.fromBytes(blob)
+      val nLocal = math.min(64, layout.numBins - g * 64)
+      shards(g) = new InterleavedBloom(nLocal, full.bitsPerBin,
+        full.numHashes, full.words)
+      coarseBins(g) = (g, Bloom.fromBytes(coarseBlob))
+    }
+    val coarse = InterleavedBloom.fromBins(coarseBins.toSeq, nGroups)
+    new TwoLevelSketchDb(coarse, shards, cards.map(_._1).toArray,
+      cards.map(_._2).toArray, layout, p, thePlan)
+  }
+
+  /** The shared two-pass pipeline; returns one row per 64-bin group:
+    * (grp, shardBytes, coarseBytes|null). */
+  private def buildShards(spark: SparkSession, df: DataFrame,
+      targetCol: String, contentCol: String, p: IbfParams,
+      checkpointDir: Option[String], twoLevel: Boolean)
+      : (Seq[(String, Long)], IbfPlan, BinLayout, Array[(Int, Array[Byte], Array[Byte])]) = {
     import spark.implicits._
 
     // ---- pass 1 (or resume) ----
@@ -166,140 +320,80 @@ object SketchBuild {
       targetCardinalities(df, targetCol, contentCol, p)
     }
     val cards = cardsDf.as[(String, Long)].collect().sortBy(_._1).toSeq
-    val thePlan = plan(cards, p)
+    val (thePlan, layout) = plan(cards, p)
 
-    // ---- pass 2 (or resume) ----
-    // Dense Bloom partials are far larger than the raw hash arrays, so the
-    // default map-side-partial plan would ship |partitions| x |targets| x m
-    // bits through the exchange. Instead: repartition rows by (target, salt)
-    // FIRST (shuffles only the cheap hash arrays), so every (target, salt)
-    // bin is built by exactly one task and no partial merge ever serializes.
-    // Salting splits mega-targets across tasks (the reference splits
-    // over-full targets across technical bins the same way,
-    // GanonBuild.cpp:619-653); sub-blooms OR-merge on the driver.
+    // coarse sizing (two-level): each group's union is at most the sum of
+    // the full hash sets of the targets touching it (span superset)
+    val (coarseBits, coarseH) = if (twoLevel) {
+      val groupLoad = new Array[Long](layout.numGroups)
+      cards.indices.foreach { t =>
+        val g0 = layout.base(t) / 64
+        val g1 = (layout.base(t) + layout.split(t) - 1) / 64
+        (g0 to g1).foreach(g => groupLoad(g) += cards(t)._2)
+      }
+      val maxN = math.max(1L, (groupLoad.max * 1.05).toLong)
+      val m = Bloom.optimalBits(maxN, p.maxFp)
+      (m, math.min(16, Bloom.optimalHashes(m, maxN)))
+    } else (64L, 1)
+
+    // ---- pass 2 (or resume): route -> one shard per 64-bin group ----
+    val layoutDf = broadcast(
+      spark.createDataFrame(cards.indices.map(i =>
+        (cards(i)._1, layout.base(i), layout.split(i))))
+        .toDF("target", "base", "split"))
     val parts = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val totalHashes = math.max(1L, cards.map(_._2).sum)
-    val fairShare = math.max(1L, totalHashes / parts)
-    val salts = cards.map { case (t2, n) =>
-      (t2, math.min(parts.toLong, math.max(1L, (n + fairShare - 1) / fairShare)).toInt)
-    }
-    val saltsDf = spark.createDataFrame(salts).toDF("target", "n_salts")
-    val binsDf = checkpointed(spark, checkpointDir, "pass2_bloom_bins") {
+
+    // per-(row x spanned-group) hash subsets, computed map-side so the one
+    // shuffle carries exactly the per-row-deduped hashes, no duplication
+    val route = udf((hs: Array[Long], base: Int, split: Int) => {
+      if (hs == null || hs.isEmpty) Array.empty[(Int, Array[Long])]
+      else if (split == 1) Array((base / 64, hs))
+      else {
+        val byGrp = scala.collection.mutable.LinkedHashMap
+          .empty[Int, scala.collection.mutable.ArrayBuilder.ofLong]
+        var i = 0
+        while (i < hs.length) {
+          val bin = base + BinLayout.routeBin(hs(i), split)
+          byGrp.getOrElseUpdate(bin / 64,
+            new scala.collection.mutable.ArrayBuilder.ofLong) += hs(i)
+          i += 1
+        }
+        byGrp.iterator.map { case (g, b) => (g, b.result()) }.toArray
+      }
+    })
+    val binsDf = checkpointed(spark, checkpointDir, "pass2_group_shards") {
       val base =
         if (p.minContentLen > 0) df.filter(length(col(contentCol)) >= p.minContentLen)
         else df
-      base
-        .select(col(targetCol).as("target"), col(contentCol).as("__content"))
-        .join(broadcast(saltsDf), Seq("target"))
-        .withColumn("salt", pmod(xxhash64(col("__content")), col("n_salts")))
-        // repartition the RAW content (compresses ~6x smaller than the hash
-        // arrays); shingles are computed after the exchange, in the same
-        // stage as the aggregation
-        .repartition(parts, col("target"), col("salt"))
-        .select(col("target"), col("salt"),
-          GraftFunctions.shingles(col("__content"), p.k, p.w, p.seed).as("hs"))
-        .groupBy("target", "salt")
-        .agg(GraftFunctions.bloomSketch(col("hs"),
-          thePlan.bitsPerBin, thePlan.numHashes).as("bloom"))
+      val routed = base
+        .select(col(targetCol).as("target"),
+          GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
+        .join(layoutDf, Seq("target"))
+        .select(col("base"), col("split"),
+          explode(route(col("hs"), col("base"), col("split"))).as("r"))
+        .select(col("r._1").as("grp"), col("base"), col("split"),
+          col("r._2").as("hs"))
+      // enough groups -> exchange-free complete aggregation (one task per
+      // group, zero partial blobs); few groups -> map-side partials are
+      // cheap (numGroups x shardBytes per task) and keep input parallelism
+      val pre =
+        if (layout.numGroups >= parts) routed.repartition(layout.numGroups, col("grp"))
+        else routed
+      val aggCols =
+        GraftFunctions.ibfShard(col("grp"), col("base"), col("split"),
+          col("hs"), thePlan.bitsPerBin, thePlan.numHashes).as("shard") ::
+        (if (twoLevel)
+          List(GraftFunctions.bloomSketch(col("hs"), coarseBits, coarseH)
+            .as("coarse"))
+         else Nil)
+      pre.groupBy("grp").agg(aggCols.head, aggCols.tail: _*)
     }
-    assemble(binsDf, cards, p, thePlan)
-  }
-
-  /** OR-merge salted sub-blooms per target, then interleave; bin order =
-    * sorted target names (deterministic across runs & partitionings). */
-  def assemble(binsDf: DataFrame, cards: Seq[(String, Long)], p: IbfParams,
-      thePlan: IbfPlan): SketchDb = {
-    val targets = cards.map(_._1).toArray
-    val index = targets.zipWithIndex.toMap
-    val counts = cards.map(_._2).toArray
-    val merged = new scala.collection.mutable.HashMap[Int, Bloom]()
-    binsDf.select("target", "bloom").collect().foreach { r =>
-      val i = index(r.getString(0))
-      val b = Bloom.fromBytes(r.getAs[Array[Byte]](1))
-      merged.get(i) match {
-        case Some(acc) => acc.merge(b)
-        case None      => merged.put(i, b)
-      }
+    val shardRows = binsDf.collect().map { r =>
+      (r.getInt(0), r.getAs[Array[Byte]]("shard"),
+        if (twoLevel) r.getAs[Array[Byte]]("coarse") else null)
     }
-    val ibf = InterleavedBloom.fromBins(merged.toSeq, targets.length)
-    new SketchDb(ibf, targets, counts, p, thePlan)
-  }
-
-  /**
-   * Two-level build: fine per-target bins grouped `groupSize` at a time
-   * under a coarse union-Bloom layer (the HIBF shape, re-derived). One
-   * extra aggregation pass over the same repartitioned content computes
-   * the coarse bins (their union cardinality needs a larger filter).
-   */
-  def buildTwoLevel(spark: SparkSession, df: DataFrame, targetCol: String,
-      contentCol: String, p: IbfParams = IbfParams(), groupSize: Int = 64,
-      checkpointDir: Option[String] = None): TwoLevelSketchDb = {
-    import spark.implicits._
-    val flat = build(spark, df, targetCol, contentCol, p, checkpointDir)
-    val targets = flat.targets
-    val nGroups = (targets.length + groupSize - 1) / groupSize
-    val groupBins = Array.tabulate(nGroups)(g =>
-      (g * groupSize until math.min((g + 1) * groupSize, targets.length)).toArray)
-    val groupOfTarget = targets.indices
-      .map(i => targets(i) -> (i / groupSize)).toMap
-
-    // coarse sizing: worst-case union = sum of member cardinalities
-    val groupN = groupBins.map(_.map(flat.targetHashes).sum)
-    val coarseMaxN = math.max(1L, (groupN.max * 1.05).toLong)
-    val coarseM = Bloom.optimalBits(coarseMaxN, p.maxFp)
-    val coarseH = math.min(16,
-      Bloom.optimalHashes(Bloom.optimalBitsExact(coarseMaxN, p.maxFp), coarseMaxN))
-
-    val parts = math.max(spark.sparkContext.defaultParallelism,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val g2 = spark.createDataFrame(groupOfTarget.toSeq).toDF("target", "grp")
-    val coarseRows = checkpointed(spark, checkpointDir, "pass3_coarse_bins") {
-      df.select(col(targetCol).as("target"), col(contentCol).as("__content"))
-        .join(broadcast(g2), Seq("target"))
-        .withColumn("salt", pmod(xxhash64(col("__content")), lit(parts.toLong)))
-        .repartition(parts, col("grp"), col("salt"))
-        .select(col("grp"), col("salt"),
-          GraftFunctions.shingles(col("__content"), p.k, p.w, p.seed).as("hs"))
-        .groupBy("grp", "salt")
-        .agg(GraftFunctions.bloomSketch(col("hs"), coarseM, coarseH).as("bloom"))
-    }
-    val coarseMerged = new scala.collection.mutable.HashMap[Int, Bloom]()
-    coarseRows.select("grp", "bloom").collect().foreach { r =>
-      val g = r.getInt(0)
-      val b = Bloom.fromBytes(r.getAs[Array[Byte]](1))
-      coarseMerged.get(g) match {
-        case Some(acc) => acc.merge(b)
-        case None      => coarseMerged.put(g, b)
-      }
-    }
-    val coarse = InterleavedBloom.fromBins(coarseMerged.toSeq, nGroups)
-
-    // fine shards: re-slice the flat IBF's source bins per group. We rebuild
-    // them from the flat IBF directly: probe layout is identical, so we
-    // extract each bin's column back into a Bloom and re-interleave locally.
-    val shards = groupBins.map { bins =>
-      val local = bins.zipWithIndex.map { case (globalBin, li) =>
-        (li, extractBin(flat.ibf, globalBin))
-      }
-      InterleavedBloom.fromBins(local.toSeq, bins.length)
-    }
-    new TwoLevelSketchDb(coarse, shards, groupBins, targets,
-      flat.targetHashes, p, flat.plan)
-  }
-
-  /** Pull one bin's bit-column out of an interleaved filter as a Bloom. */
-  private def extractBin(ibf: InterleavedBloom, bin: Int): Bloom = {
-    val b = Bloom.empty(ibf.bitsPerBin, ibf.numHashes)
-    val word = bin >>> 6
-    val bit = 1L << (bin & 63)
-    var p = 0L
-    while (p < ibf.bitsPerBin) {
-      if ((ibf.words((p * ibf.wordsPerRow + word).toInt) & bit) != 0L)
-        b.words((p >>> 6).toInt) |= (1L << (p & 63))
-      p += 1
-    }
-    b
+    (cards, thePlan, layout, shardRows)
   }
 
   private def checkpointed(spark: SparkSession, dir: Option[String],

@@ -30,6 +30,13 @@ object Hashing {
   /** Hash of a single long value (for tokens, keys, salting). */
   @inline def hashLong(x: Long, seed: Long = DefaultSeed): Long = mix64(x ^ seed)
 
+  /** Map a uniform 64-bit value to [0, m) without division (Lemire's
+    * fastrange: unsigned-multiply-high). Division-free like a pow2 mask but
+    * for ARBITRARY m — lets Bloom bins be sized exactly instead of rounded
+    * up to the next power of two (up to 2x memory). m must be positive. */
+  @inline def fastRange(x: Long, m: Long): Long =
+    Math.multiplyHigh(x, m) + ((x >> 63) & m) // = unsignedMultiplyHigh, m >= 0
+
   /** Hash of a string (token) — polynomial over UTF-8 BYTES + mix, so it
     * agrees with the byte-based Catalyst expressions (TokenHashesExpr) on
     * every input, not just ASCII. */

@@ -19,15 +19,10 @@ final class Bloom(val numBits: Long, val numHashes: Int, val words: Array[Long])
   require(numBits > 0 && numHashes > 0)
   require(words.length.toLong == (numBits + 63) / 64)
 
-  // power-of-2 sizes use a mask (no 64-bit division in the hot probe);
-  // arbitrary sizes fall back to mod
-  private val posMask: Long =
-    if ((numBits & (numBits - 1)) == 0L) numBits - 1 else -1L
-
-  @inline private def pos(h1: Long, h2: Long, i: Int): Long = {
-    val x = h1 + i.toLong * h2
-    if (posMask >= 0) x & posMask else (x & Long.MaxValue) % numBits
-  }
+  // fastrange (unsigned multiply-high) maps hashes to [0, numBits) with no
+  // division and no power-of-2 rounding — bins cost exactly their sized bits
+  @inline private def pos(h1: Long, h2: Long, i: Int): Long =
+    Hashing.fastRange(h1 + i.toLong * h2, numBits)
 
   def add(hash: Long): Unit = {
     val h1 = Hashing.mix64(hash)
@@ -104,14 +99,13 @@ object Bloom {
     new Bloom(numBits, numHashes, words)
   }
 
-  /** Bits needed for n elements at false-positive rate p, rounded UP to a
-    * power of 2: probe indices become a mask instead of a 64-bit modulo
-    * (~7 divisions/hash removed from the classify hot loop) at <=2x memory;
-    * the realized FPR only drops. */
+  /** Bits needed for n elements at false-positive rate p, rounded up only
+    * to the 64-bit word (probing uses fastrange, not a pow2 mask, so no
+    * 2x rounding tax — the size IS the information-theoretic size). */
   def optimalBits(n: Long, p: Double): Long = {
     require(p > 0 && p < 1)
     val m = math.ceil(-n.toDouble * math.log(p) / (Ln2 * Ln2)).toLong
-    java.lang.Long.highestOneBit(math.max(64L, m - 1)) * 2
+    ((math.max(64L, m) + 63) / 64) * 64
   }
 
   /** The un-rounded information-theoretic size (for hash-count choice). */

@@ -28,16 +28,10 @@ final class InterleavedBloom(
   require(words.length.toLong == bitsPerBin * wordsPerRow,
     s"words=${words.length} expected ${bitsPerBin * wordsPerRow}")
 
-  // mask for power-of-2 bitsPerBin (matches Bloom.pos — interleaving stays
-  // lossless); arbitrary sizes fall back to mod
-  private val rowMask: Long =
-    if ((bitsPerBin & (bitsPerBin - 1)) == 0L) bitsPerBin - 1 else -1L
-
-  @inline private def rowOf(h1: Long, h2: Long, i: Int): Int = {
-    val x = h1 + i.toLong * h2
-    (if (rowMask >= 0) x & rowMask
-     else (x & Long.MaxValue) % bitsPerBin).toInt
-  }
+  // fastrange position — IDENTICAL formula to Bloom.pos, so a per-bin Bloom
+  // with the same (bitsPerBin, numHashes) interleaves losslessly
+  @inline private def rowOf(h1: Long, h2: Long, i: Int): Int =
+    Hashing.fastRange(h1 + i.toLong * h2, bitsPerBin).toInt
 
   def add(hash: Long, bin: Int): Unit = {
     val h1 = Hashing.mix64(hash)
@@ -91,6 +85,32 @@ final class InterleavedBloom(
     val c = new Array[Int](numBins)
     bulkCount(hashes, c)
     c
+  }
+
+  /** Does `hash` test positive in ANY bin of [binLo, binHi)? Union-membership
+    * over a target's technical-bin range (split-bin FPR is the probability
+    * of this union event, not the sum of per-bin hits). */
+  def containsInBins(hash: Long, binLo: Int, binHi: Int): Boolean = {
+    val h1 = Hashing.mix64(hash)
+    val h2 = Hashing.mix64(hash ^ 0x9E3779B97F4A7C15L) | 1L
+    val wLo = binLo >>> 6
+    val wHi = (binHi - 1) >>> 6
+    var acc = 0L
+    var w = wLo
+    while (w <= wHi) {
+      // mask bits of this word that fall inside [binLo, binHi)
+      val lo = math.max(binLo, w << 6)
+      val hi = math.min(binHi, (w + 1) << 6)
+      var mask = if (hi - lo == 64) -1L else ((1L << (hi - lo)) - 1L) << (lo & 63)
+      var i = 0
+      while (i < numHashes && mask != 0L) {
+        mask &= words(rowOf(h1, h2, i) * wordsPerRow + w)
+        i += 1
+      }
+      acc |= mask
+      w += 1
+    }
+    acc != 0L
   }
 
   def toBytes: Array[Byte] = {

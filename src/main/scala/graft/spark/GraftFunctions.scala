@@ -76,6 +76,14 @@ object GraftFunctions {
   def bloomSketch(hashes: Column, numBits: Long, numHashes: Int): Column =
     udaf(new BloomSketchAgg(numBits, numHashes)).apply(hashes)
 
+  /** One 64-bin interleaved shard of the sketch db (executor-side IBF
+    * assembly) — see [[graft.spark.udaf.SketchAggs.IbfShardAgg]]. */
+  def ibfShard(grp: Column, base: Column, split: Column, hashes: Column,
+      bitsPerBin: Long, numHashes: Int): Column = {
+    val agg = new IbfShardAgg(bitsPerBin, numHashes)
+    udaf(agg, agg.inputEncoder).apply(grp, base, split, hashes)
+  }
+
   def cmsSketch(hashes: Column, depth: Int = 7, width: Int = 8192): Column =
     udaf(new CmsSketchAgg(depth, width)).apply(hashes)
 

@@ -41,7 +41,7 @@ object Demo {
           groupSize = 8)
       else SketchBuild.build(spark, corpus, "repo", "content", p)
     println(s"[demo] db bins=${db.targets.length} " +
-      s"h=${db.plan.numHashes} maxN=${db.plan.maxBinHashes} " +
+      s"h=${db.plan.numHashes} cap=${db.plan.maxHashesBin} bins=${db.plan.numBins} " +
       f"expFp=${db.plan.expectedMaxFp}%.5f ibfBytes=${db.sizeBytes}")
 
     // taxonomy root -> lang -> repo, LCA

@@ -16,15 +16,18 @@ class TwoLevelSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private lazy val corpus = Corpus.df(spark, 300, numRepos = 20, partitions = 4)
+  // enough distinct repos for >=3 64-bin groups (the zipf-ish repo draw
+  // leaves tail repos empty, so oversample), exercising real group
+  // boundaries and group-spanning split bins
+  private lazy val corpus = Corpus.df(spark, 2000, numRepos = 300, partitions = 4)
     .cache()
   private val p = IbfParams(k = 8, w = 12, maxFp = 0.01)
 
   test("two-level classify == flat classify (all params)") {
     val flat = SketchBuild.build(spark, corpus, "repo", "content", p)
-    val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p,
-      groupSize = 6)
-    assert(two.shards.length == (flat.targets.length + 5) / 6)
+    val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p)
+    assert(two.shards.length == flat.layout.numGroups)
+    assert(two.shards.length >= 3)
     Seq(ClassifyParams(relCutoff = 0.25), ClassifyParams(relCutoff = 0.75))
       .foreach { cp =>
         val reads = corpus.limit(120).withColumn("id", $"path")
@@ -70,14 +73,14 @@ class TwoLevelSpec extends AnyFunSuite {
     assert(got.sameElements(expect))
   }
 
-  test("two-level probe prunes: zero counts outside passing groups") {
-    val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p,
-      groupSize = 6)
+  test("two-level probe prunes: zero FN survives group pruning") {
+    val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p)
     val row = corpus.select("content", "repo").head()
     val hs = graft.core.Hashing.shingles(row.getString(0), p.k, p.w, p.seed)
     val counts = new Array[Int](two.targets.length)
     two.probe(hs, counts, hs.length) // cutoff = full coverage
     val ownBin = two.targetIndex(row.getString(1))
-    assert(counts(ownBin) == hs.length) // zero FN survives pruning
+    // summed split-bin count >= n (sibling-bin FPs can only add)
+    assert(counts(ownBin) >= hs.length)
   }
 }
