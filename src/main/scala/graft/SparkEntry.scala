@@ -289,11 +289,17 @@ object SparkEntry {
     }),
 
     "q19_simhash" -> ((s, dir) => {
-      // no SQL oracle (bit-level hashing) -> rows-only check
+      // oracle-checkable invariant: simhash is a pure function of the
+      // token multiset, so every member of an exact-duplicate text group
+      // carries the same fingerprint (min == max within the group)
       val docs = t(s, dir, "documents")
-      docs.select(col("doc_id").cast("long").as("doc_id"),
+      val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
+        sha2(col("text"), 256).as("grp"),
         GraftFunctions.simhash(
           GraftFunctions.tokenHashes(col("text"))).as("simhash"))
+      val w = Window.partitionBy("grp")
+      sh.select(col("doc_id"),
+        (min(col("simhash")).over(w) === max(col("simhash")).over(w)).as("ok"))
     }),
 
     "q20_stream_window" -> ((s, dir) => {
@@ -379,27 +385,42 @@ object SparkEntry {
     }),
 
     "q26_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (scale path) — approximate, rows-only check;
-      // recall vs brute force asserted in OpsSpec
+      // LSH-bucketed ANN (scale path): per-query recall@5 vs the in-query
+      // brute force must clear the bound -> oracle asserts the boolean
       val emb = t(s, dir, "embeddings")
-      Ann.lshTopK(s, emb, emb.filter(col("vec_id") < 10), "vec_id",
-        "embedding", 5, nBits = 6)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val lsh = Ann.lshTopK(s, emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = Ann.bruteForceTopK(s, emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("found"))
+        .join(bf.groupBy("query_id").agg(count(lit(1)).as("total")),
+          Seq("query_id"), "right")
+        .na.fill(0L, Seq("found"))
+        .select(col("query_id"),
+          (col("found") >= col("total") * 0.6).as("ok"))
     }),
 
     "q27_cascade" -> ((s, dir) => {
-      // hierarchy cascade: build bins from EVEN docs; odd docs that miss
-      // source bins at a strict cutoff fall through to lang bins
+      // hierarchy cascade: level 1 = source bins from EVEN docs (strict
+      // cutoff; odd docs may miss), level 2 = lang bins from ALL docs
+      // (zero-FN -> every eligible odd doc classifies). Oracle-checkable
+      // invariants: each eligible read appears EXACTLY once across levels
+      // with a non-null assignment (disjoint level membership + coverage)
       val docs = t(s, dir, "documents")
-      val build = docs.filter(col("doc_id") % 2 === 0)
+      val build1 = docs.filter(col("doc_id") % 2 === 0)
       val query = docs.filter(col("doc_id") % 2 === 1)
       val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
-      val lvl1 = SketchBuild.build(s, build, "source", "text", p)
-      val lvl2 = SketchBuild.build(s, build, "lang", "text", p)
-      Classify.cascade(s, query, "doc_id", "text",
+      val lvl1 = SketchBuild.build(s, build1, "source", "text", p)
+      val lvl2 = SketchBuild.build(s, docs, "lang", "text", p)
+      val out = Classify.cascade(s, query, "doc_id", "text",
         Seq(("1_source", lvl1), ("2_lang", lvl2)),
         ClassifyParams(relCutoff = 0.6))
-        .select(col("read_id"), col("hierarchy"), col("assignment"))
+      out.groupBy("read_id").agg(
+        (count(lit(1)) === 1 &&
+          min(col("assignment").isNotNull) === true).as("ok"))
+        .select(col("read_id").cast("long").as("read_id"), col("ok"))
     }),
 
     "q28_hll_events" -> ((s, dir) => {
@@ -460,13 +481,20 @@ object SparkEntry {
     }),
 
     "q22_em_reassign" -> ((s, dir) => {
-      // EM on the classify .all relation — rows-only (iterative, no SQL form)
+      // EM reassignment invariants, oracle-checkable per read: exactly one
+      // final assignment, and it comes from the read's own match set
+      // (count conservation: one row per classified read)
       val docs = t(s, dir, "documents")
       val db = SketchBuild.build(s, docs, "lang", "text",
         IbfParams(k = 8, w = 8, maxFp = 0.001))
       val res = Classify.classify(s, docs, "doc_id", "text", db,
         ClassifyParams(relCutoff = 0.25))
-      graft.classify.Em.reassign(s, Classify.allMatches(res))
+      val all = Classify.allMatches(res).cache()
+      val one = graft.classify.Em.reassign(s, all)
+      val valid = one.join(all.withColumnRenamed("kmer_count", "kc2"),
+        Seq("read_id", "target"), "left_semi")
+      valid.groupBy("read_id").agg((count(lit(1)) === 1).as("ok"))
+        .select(col("read_id").cast("long").as("read_id"), col("ok"))
     })
   )
 
@@ -684,6 +712,24 @@ object SparkEntry {
     "q21_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes, true AS feat_ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q19_simhash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q22_em_reassign" ->
+      """SELECT CAST(doc_id AS BIGINT) AS read_id, true AS ok
+        |FROM documents WHERE strlen(text) BETWEEN 8 AND 65542""".stripMargin,
+
+    "q26_ann_lsh" ->
+      """SELECT vec_id AS query_id, true AS ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q27_cascade" ->
+      """SELECT CAST(doc_id AS BIGINT) AS read_id, true AS ok
+        |FROM documents
+        |WHERE doc_id % 2 = 1 AND strlen(text) BETWEEN 8 AND 65542"""
+        .stripMargin
   )
 }

@@ -59,29 +59,82 @@ object Ann {
   }
 
   /**
-   * Embedding-cosine near-duplicate pairs (exact): every pair with
-   * cosine >= threshold, id_a < id_b. The corpus broadcasts once and each
-   * partition scores its rows against the broadcast half-matrix — map-side
-   * n^2/2 flops, zero shuffle before the tiny result. For corpora too big
-   * to broadcast, candidate-generate with [[lshTopK]]'s buckets instead.
+   * Embedding-cosine near-duplicate pairs (EXACT): every pair with
+   * cosine >= threshold, id_a < id_b — as a block-partitioned pair join.
+   * Rows are bucketed into B blocks by id; each unordered block pair
+   * {i, j} is one join cell evaluated by one task (block-nested-loop),
+   * so the full O(n^2) compare distributes over B(B+1)/2 tasks with no
+   * corpus collect and no driver broadcast; executor memory is bounded by
+   * two blocks. B scales with both parallelism and corpus size.
+   *
+   * This is the honest exact shape: hyperplane-LSH candidates cannot give
+   * deterministic completeness at a threshold where pairs sit epsilon-close
+   * to it (the planted pairs here land at cosine 0.501 vs t=0.5 — any
+   * bounded table count misses them with nonzero probability). For the
+   * high-threshold approximate regime use [[lshNearDupPairs]].
    */
   def cosineNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double, blocks: Int = 0): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val n = v.count()
+    val parts = spark.sparkContext.defaultParallelism
+    val b =
+      if (blocks > 0) blocks
+      else math.max(math.ceil(math.sqrt(2.0 * parts)).toInt,
+        math.min(1024, math.ceil(n / 4096.0).toInt))
+    val blocked = v.withColumn("blk", pmod(col("id"), lit(b)).cast("int"))
+    val cells = spark.range(b).select(col("id").cast("int").as("bi"))
+      .join(spark.range(b).select(col("id").cast("int").as("bj")),
+        col("bi") <= col("bj"))
+    val left = blocked.join(broadcast(cells), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("id").as("id_a"), col("vec").as("va"))
+    val right = blocked.select(col("blk").as("bj2"), col("id").as("id_b"),
+      col("vec").as("vb"))
+    val cos = udf((a: Array[Float], bv: Array[Float]) => dotNorm(a, bv))
+    // each unordered pair lands in exactly one cell: distinct blocks ->
+    // the (min,max)-block cell with any id order; same block -> the
+    // diagonal cell with id order. Output ids canonicalized (a < b).
+    left.join(right, col("bj") === col("bj2"))
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(cos(col("va"), col("vb")) >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+  }
+
+  /**
+   * Approximate near-dup pairs via multi-table hyperplane LSH: candidates
+   * share an r-bit signature in at least one of `tables` tables; exact
+   * cosine verifies inside the bucket join (same shape as minhashPairs).
+   * Recall for a pair at angle theta: 1-(1-p^r)^T with p = 1-theta/pi —
+   * sized for the high-threshold regime, measured in OpsSpec.
+   */
+  def lshNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nBits: Int = 8, tables: Int = 12,
+      maxBucket: Int = 10000): DataFrame = {
     import spark.implicits._
-    val all = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val allB = spark.sparkContext.broadcast(all)
-    df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { iter =>
-        val ref = allB.value
-        iter.flatMap { case (id, vec) =>
-          ref.iterator
-            .dropWhile(_._1 <= id)
-            .collect { case (oid, ovec)
-              if dotNorm(vec, ovec) >= threshold => (id, oid) }
-        }
-      }.toDF("id_a", "id_b")
+    import org.apache.spark.sql.expressions.Window
+    val dim = df.select(col(vecCol)).as[Array[Float]].head().length
+    val sigs = (0 until tables).map(t2 => lshSignature(dim, nBits, 7L + t2 * 1000003L))
+    val keyUdf = udf((v2: Array[Float]) =>
+      sigs.zipWithIndex.map { case (f, t2) => t2.toLong << 32 | f(v2) }.toArray)
+    val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("key", explode(keyUdf(col("vec"))))
+    val capped = keyed
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("key").orderBy("id")))
+      .filter(col("rnk") <= maxBucket)
+      .select("key", "id")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val va = df.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("vb"))
+    val cos = udf((a: Array[Float], bv: Array[Float]) => dotNorm(a, bv))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .filter(cos(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Random-hyperplane LSH signature (nBits signed projections). */
@@ -108,24 +161,42 @@ object Ann {
   }
 
   /**
-   * LSH-bucketed ANN: candidates share a `nBits`-bit hyperplane bucket;
-   * exact cosine re-ranks within buckets. Approximate — recall measured
-   * against [[bruteForceTopK]] in tests.
+   * LSH-bucketed ANN, the 100 TB scale path: `tables` independent
+   * hyperplane tables of `nBits` bits; the corpus side carries one key per
+   * table, the query side additionally multi-probes all Hamming-1
+   * neighbors of its signature (tables x (nBits+1) keys — queries are the
+   * small side, so probe fan-out is cheap where it belongs). Candidates
+   * dedup before the exact cosine re-rank. Per-neighbor find probability
+   * 1-(1-(p^r + r p^(r-1)(1-p)))^T at per-bit agreement p = 1-theta/pi;
+   * recall measured against [[bruteForceTopK]] in OpsSpec and bounded in
+   * the driver query.
    */
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nBits: Int = 6,
+      tables: Int = 12, multiProbe: Boolean = true): DataFrame = {
     import spark.implicits._
     val dim = corpus.select(col(vecCol)).as[Array[Float]].head().length
-    val sigFn = lshSignature(dim, nBits)
-    val sigUdf = udf((v: Array[Float]) => sigFn(v))
+    val sigs = (0 until tables).map(t => lshSignature(dim, nBits, 7L + t * 1000003L))
+    def key(t: Int, sig: Long): Long = t.toLong << 32 | sig
+    val cKeys = udf((v: Array[Float]) =>
+      sigs.zipWithIndex.map { case (f, t) => key(t, f(v)) }.toArray)
+    val qKeys = udf((v: Array[Float]) =>
+      sigs.zipWithIndex.flatMap { case (f, t) =>
+        val s = f(v)
+        val base = key(t, s)
+        if (!multiProbe) Seq(base)
+        else base +: (0 until nBits).map(b2 => key(t, s ^ (1L << b2)))
+      }.distinct.toArray)
     val cTag = corpus.select(col(idCol).cast("long").as("cid"),
-      col(vecCol).as("cvec")).withColumn("bucket", sigUdf(col("cvec")))
+      col(vecCol).as("cvec")).withColumn("bucket", explode(cKeys(col("cvec"))))
     val qTag = queries.select(col(idCol).cast("long").as("qid"),
-      col(vecCol).as("qvec")).withColumn("bucket", sigUdf(col("qvec")))
+      col(vecCol).as("qvec")).withColumn("bucket", explode(qKeys(col("qvec"))))
     val cos = udf((a: Array[Float], b: Array[Float]) => dotNorm(a, b))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
     qTag.join(cTag, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
+      .dropDuplicates("qid", "cid")
       .withColumn("cosine", cos(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

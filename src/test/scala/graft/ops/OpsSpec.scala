@@ -67,6 +67,51 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("ann: block-pair cosine dups == naive all-pairs, no corpus collect") {
+    val vecs = (0 until 120).map { i =>
+      val v = Array.tabulate(8)(d =>
+        ((Hashing.hashLong(i * 8L + d, 11L) & 0xFFFF) / 65536.0f - 0.5f))
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val got = Ann.cosineNearDupPairs(spark, df, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val expect = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cosine(va, vb) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+    // different block counts agree (the B parameter is pure partitioning)
+    val got3 = Ann.cosineNearDupPairs(spark, df, "vec_id", "embedding", 0.5,
+      blocks = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == expect)
+  }
+
+  test("ann: lsh near-dup pairs find high-cosine plants") {
+    // 20 planted near-identical pairs (cosine ~0.99) among 200 random rows
+    val base = (0 until 200).map { i =>
+      val v = Array.tabulate(16)(d =>
+        ((Hashing.hashLong(i * 16L + d, 3L) & 0xFFFF) / 65536.0f - 0.5f))
+      (i.toLong, v)
+    }
+    val plants = (0 until 20).map { i =>
+      val (_, v) = base(i)
+      val v2 = v.clone(); v2(0) += 0.01f
+      (1000L + i, v2)
+    }
+    val df = (base ++ plants).toDF("vec_id", "embedding")
+    val got = Ann.lshNearDupPairs(spark, df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    assert(want.subsetOf(got), s"missed ${(want -- got).size} plants")
+  }
+
   test("ann: brute force is exact (oracle agreement on tiny case)") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
