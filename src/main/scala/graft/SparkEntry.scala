@@ -480,6 +480,198 @@ object SparkEntry {
         "embedding", 0.5)
     }),
 
+    "q32_skew_split" -> ((s, dir) => {
+      import s.implicits._
+      // skewed corpus: 'mega' holds half the docs (~20x any source bin).
+      // The split-bin plan must (a) split mega across technical bins,
+      // (b) keep zero-FN, (c) keep the per-TARGET union FPR within budget,
+      // (d) cost far less than the naive numBins x bits(mega) sizing that
+      //     a max-sized layout pays on skew
+      // k = 16 crosses token boundaries, so 'mega' (half the corpus) holds
+      // ~6-8x the distinct shingles of any source bin — real count skew
+      // despite the shared vocabulary
+      val docs = t(s, dir, "documents")
+        .withColumn("target",
+          when(col("doc_id") % 2 === 0, lit("mega")).otherwise(col("source")))
+      val p = IbfParams(k = 16, w = 16, maxFp = 0.01)
+      val db = SketchBuild.build(s, docs, "target", "text", p)
+      val dbB = s.sparkContext.broadcast(db)
+      val megaSplit = db.layout.split(db.targetIndex("mega")) > 1
+      val budgetOk = db.plan.expectedMaxFp <= p.maxFp
+      // ~2x of sum-of-optimal-bins (the envelope = 64-bin rounding + the
+      // split multiple-testing correction + HLL headroom) and strictly
+      // below the old max-bin sizing; the >=3x naive win on a wider-skew
+      // corpus is asserted in SizingSpec
+      val naiveBytes = db.targets.length.toLong *
+        graft.build.Sizing.binSizeBits(p.maxFp, db.targetHashes.max) / 8
+      val sizeVsNaive = naiveBytes.toDouble / db.sizeBytes >= 1.8
+      val sumOptimal = db.targetHashes
+        .map(graft.build.Sizing.binSizeBits(p.maxFp, _)).sum / 8
+      val sizeVsOptimal = db.sizeBytes <= 2.3 * sumOptimal
+      val fn = docs.select(col("target"), col("text"))
+        .as[(String, String)]
+        .mapPartitions { iter =>
+          val d = dbB.value
+          val counts = new Array[Int](d.targets.length)
+          iter.map { case (tg, text) =>
+            val hs = Hashing.shingles(text, p.k, p.w, p.seed)
+            java.util.Arrays.fill(counts, 0)
+            d.probe(hs, counts, 1)
+            (tg, hs.isEmpty || counts(d.targetIndex(tg)) >= hs.length)
+          }
+        }.toDF("target", "fn_ok")
+        .groupBy("target").agg(min(col("fn_ok")).as("zero_fn"))
+      val probes = Array.tabulate(100000)(i => Hashing.hashLong(i + (1L << 47)))
+      val fpOf = udf((tg: String) => {
+        val d = dbB.value
+        val ti = d.targetIndex(tg)
+        var hits = 0; var i = 0
+        while (i < probes.length) {
+          if (d.containsTarget(probes(i), ti)) hits += 1
+          i += 1
+        }
+        hits.toDouble / probes.length <= 2 * p.maxFp
+      })
+      fn.select(col("target"), col("zero_fn"), fpOf(col("target")).as("fpr_ok"),
+        lit(megaSplit && budgetOk).as("plan_ok"),
+        lit(sizeVsNaive && sizeVsOptimal).as("size_ok"))
+    }),
+
+    "q33_lca" -> ((s, dir) => {
+      // taxonomy root -> lang -> lang/source; multi-match reads resolve by
+      // LCA on executors (GanonClassify.cpp:773-800 semantics). Oracle =
+      // exact 8-gram-join classification + LCA over the 3-level lineage
+      // in SQL (k = w = 8 makes the shingle set exactly the distinct
+      // 8-grams, so DuckDB can reproduce the counts)
+      val docs = t(s, dir, "documents").filter(length(col("text")) >= 8)
+      val binned = docs.withColumn("target",
+        concat(col("lang"), lit("/"), col("source")))
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-6)
+      val db = SketchBuild.build(s, binned, "target", "text", p)
+      val parents = binned.select("lang", "target").distinct().collect()
+        .flatMap(r => Seq(r.getString(1) -> r.getString(0),
+          r.getString(0) -> "root")).toMap
+      val lca = graft.core.Lca.build(parents, "root")
+      val res = Classify.classify(s, binned, "doc_id", "text", db,
+        ClassifyParams(relCutoff = 0.8, relFilter = 1.0, fprQuery = 1.0),
+        lcaOpt = Some(lca))
+      res.toDF().filter(col("assignment").isNotNull)
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("assignment"))
+    }),
+
+    "q34_update" -> ((s, dir) => {
+      // ganon-update capability: add a target to a built+saved db, remove
+      // another; classification must equal a fresh build of the final set
+      // (full-containment cutoff makes the check FP-immune)
+      val docs = t(s, dir, "documents").cache()
+      val sources = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0))
+      val addSrc = sources.head
+      val rmSrc = sources.last
+      // tiny maxFp: the updated and fresh filters have different bits, so
+      // an FP-completed near-containment could otherwise differ between them
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+      val base = SketchBuild.build(s, docs.filter(col("source") =!= addSrc),
+        "source", "text", p)
+      val dir2 = s"/tmp/graft_q34_${math.abs(dir.hashCode)}"
+      graft.io.SketchStore.save(s, base, dir2)
+      val loaded = graft.io.SketchStore.load(s, dir2)
+      val updated = SketchBuild.update(s, loaded,
+        docs.filter(col("source") === addSrc), "source", "text",
+        removeTargets = Seq(rmSrc))
+      val fresh = SketchBuild.build(s, docs.filter(col("source") =!= rmSrc),
+        "source", "text", p)
+      val cp = ClassifyParams(relCutoff = 1.0, fprQuery = 1.0)
+      val a = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", updated, cp)).withColumn("u", lit(1))
+      val b = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", fresh, cp)).withColumn("f", lit(1))
+      val mism = a.join(b, Seq("read_id", "target"), "full_outer")
+        .filter(col("u").isNull || col("f").isNull)
+        .groupBy("read_id").agg(count(lit(1)).as("bad"))
+      docs.select(col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("bad").isNull.as("ok"))
+    }),
+
+    "q35_report_sort" -> ((s, dir) => {
+      // report sort with root pinning (rank mode): order emitted as an
+      // explicit pos column so the oracle checks the ORDER relationally
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .groupBy(concat(col("lang"), lit("/"), col("source")).as("node"))
+        .agg(count(lit(1)).as("direct_count"))
+      val lineage = docs.select("lang", "source").distinct()
+        .select(concat(col("lang"), lit("/"), col("source")).as("node"),
+          array(lit("root"), col("lang"),
+            concat(col("lang"), lit("/"), col("source"))).as("lineage"))
+        .union(docs.select(col("lang").as("node"),
+          array(lit("root"), col("lang")).as("lineage")).distinct())
+        .union(s.range(1).select(lit("root").as("node"),
+          array(lit("root")).as("lineage")))
+      val tre = Report.tree(counts, lineage)
+      Report.sortTree(tre, lineage, "rank")
+        .select(col("node"), col("pos").cast("long").as("pos"),
+          col("cumulative").cast("long").as("cumulative"))
+    }),
+
+    "q36_table_topk" -> ((s, dir) => {
+      // table-side global top-k by summed percentage + min-count filter
+      val rep = t(s, dir, "documents")
+        .groupBy(col("source").as("sample"), col("lang").as("node"))
+        .agg(count(lit(1)).as("count"))
+      Table.minMaxCount(Table.topKGlobal(rep, 2), minCount = 3)
+        .select(col("sample"), col("node"), col("count").cast("long").as("count"))
+    }),
+
+    "q37_relfilter" -> ((s, dir) => {
+      // strict rel-filter (reference default 0.1, docs/classification.md:
+      // 185-215 worked example): keep count >= maxC - ceil((maxC-minC)*0.1)
+      // among the rel-cutoff survivors; oracle reproduces both windows on
+      // exact 8-gram counts
+      val docs = t(s, dir, "documents").filter(length(col("text")) >= 8)
+      val binned = docs.withColumn("target",
+        concat(col("lang"), lit("/"), col("source")))
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-6)
+      val db = SketchBuild.build(s, binned, "target", "text", p)
+      val res = Classify.classify(s, binned, "doc_id", "text", db,
+        ClassifyParams(relCutoff = 0.25, relFilter = 0.1, fprQuery = 1.0))
+      Classify.allMatches(res)
+        .select(col("read_id").cast("long").as("doc_id"), col("target"))
+    }),
+
+    "q38_multifilter" -> ((s, dir) => {
+      // per-filter rel-cutoff within one hierarchy level
+      // (GanonClassify.cpp:353-401): the fused multi-filter pass must equal
+      // the max-count merge of per-filter single runs at their own cutoffs
+      val docs = t(s, dir, "documents").cache()
+      val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
+      val dbLang = SketchBuild.build(s, docs, "lang", "text", p)
+      val dbSource = SketchBuild.build(s, docs, "source", "text", p)
+      val cuts = Seq(0.25, 0.9)
+      val fused = Classify.allMatches(Classify.classifyMultiFilter(
+        s, docs, "doc_id", "text", Seq(dbLang, dbSource),
+        ClassifyParams(fprQuery = 1.0), perFilterCutoff = cuts))
+      val singles = cuts.zip(Seq(dbLang, dbSource)).map { case (c, d) =>
+        Classify.allMatches(Classify.classify(s, docs, "doc_id", "text", d,
+          ClassifyParams(relCutoff = c, fprQuery = 1.0)))
+      }
+      val merged = singles.reduce(_ unionByName _)
+        .groupBy("read_id", "target")
+        .agg(max(col("kmer_count")).as("kmer_count"))
+      val mism = fused.withColumn("a", lit(1))
+        .join(merged.withColumn("b", lit(1)),
+          Seq("read_id", "target", "kmer_count"), "full_outer")
+        .filter(col("a").isNull || col("b").isNull)
+        .groupBy("read_id").agg(count(lit(1)).as("bad"))
+      docs.select(col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("bad").isNull.as("ok"))
+    }),
+
     "q22_em_reassign" -> ((s, dir) => {
       // EM reassignment invariants, oracle-checkable per read: exactly one
       // final assignment, and it comes from the read's own match set
@@ -715,6 +907,97 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q19_simhash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q32_skew_split" ->
+      """SELECT DISTINCT
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mega' ELSE source END AS target,
+        |  true AS zero_fn, true AS fpr_ok, true AS plan_ok, true AS size_ok
+        |FROM documents""".stripMargin,
+
+    "q33_lca" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, source, lang || '/' || source AS target,
+        |    unnest(list_distinct(list_transform(range(strlen(text)-7),
+        |      i -> substr(text, CAST(i+1 AS INT), 8)))) AS g
+        |  FROM documents WHERE strlen(text) BETWEEN 8 AND 65542),
+        |docn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        |binset AS (SELECT target AS t2, lang AS l2, g FROM grams GROUP BY ALL),
+        |hits AS (
+        |  SELECT gr.doc_id, b.t2, b.l2, COUNT(*) AS c
+        |  FROM grams gr JOIN binset b ON gr.g = b.g
+        |  GROUP BY 1, 2, 3),
+        |surv AS (
+        |  SELECT h.doc_id, h.t2, h.l2
+        |  FROM hits h JOIN docn d USING (doc_id)
+        |  WHERE h.c >= GREATEST(1, CEIL(d.n * 0.8)))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN COUNT(*) = 1 THEN MIN(t2)
+        |       WHEN COUNT(DISTINCT l2) = 1 THEN MIN(l2)
+        |       ELSE 'root' END AS assignment
+        |FROM surv GROUP BY doc_id""".stripMargin,
+
+    "q34_update" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q35_report_sort" ->
+      """WITH leaf AS (
+        |  SELECT lang || '/' || source AS node, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT node, 2 AS rank_depth, c AS cumulative FROM leaf
+        |  UNION ALL
+        |  SELECT lang, 1, CAST(SUM(c) AS BIGINT) FROM leaf GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'root', 0, CAST(SUM(c) AS BIGINT) FROM leaf)
+        |SELECT node,
+        |  CAST(row_number() OVER (ORDER BY
+        |    (CASE WHEN node = 'root' THEN 0 ELSE 1 END),
+        |    rank_depth, cumulative DESC, node) AS BIGINT) AS pos,
+        |  cumulative
+        |FROM nodes""".stripMargin,
+
+    "q36_table_topk" ->
+      """WITH rep AS (
+        |  SELECT source AS sample, lang AS node, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT sample, SUM(cnt) AS st FROM rep GROUP BY 1),
+        |sump AS (
+        |  SELECT node, SUM(cnt * 100.0 / st) AS sp
+        |  FROM rep JOIN tot USING (sample)
+        |  WHERE node <> 'root' GROUP BY node),
+        |top AS (SELECT node FROM sump ORDER BY sp DESC, node LIMIT 2)
+        |SELECT sample, node, CAST(cnt AS BIGINT) AS count
+        |FROM rep
+        |WHERE (node IN (SELECT node FROM top) OR node = 'root')
+        |  AND cnt >= 3""".stripMargin,
+
+    "q37_relfilter" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang || '/' || source AS target,
+        |    unnest(list_distinct(list_transform(range(strlen(text)-7),
+        |      i -> substr(text, CAST(i+1 AS INT), 8)))) AS g
+        |  FROM documents WHERE strlen(text) BETWEEN 8 AND 65542),
+        |docn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        |binset AS (SELECT target AS t2, g FROM grams GROUP BY ALL),
+        |hits AS (
+        |  SELECT gr.doc_id, b.t2, COUNT(*) AS c
+        |  FROM grams gr JOIN binset b ON gr.g = b.g
+        |  GROUP BY 1, 2),
+        |surv AS (
+        |  SELECT h.doc_id, h.t2, h.c
+        |  FROM hits h JOIN docn d USING (doc_id)
+        |  WHERE h.c >= GREATEST(1, CEIL(d.n * 0.25))),
+        |thr AS (SELECT doc_id, MAX(c) AS mx, MIN(c) AS mn
+        |        FROM surv GROUP BY 1)
+        |SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.t2 AS target
+        |FROM surv s JOIN thr USING (doc_id)
+        |WHERE s.c >= thr.mx - CEIL((thr.mx - thr.mn) * 0.1)""".stripMargin,
+
+    "q38_multifilter" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
 

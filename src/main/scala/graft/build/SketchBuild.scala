@@ -337,10 +337,28 @@ object SketchBuild {
     } else (64L, 1)
 
     // ---- pass 2 (or resume): route -> one shard per 64-bin group ----
+    val entries = cards.indices.map(i =>
+      (cards(i)._1, layout.base(i), layout.split(i)))
+    val binsDf = checkpointed(spark, checkpointDir, "pass2_group_shards") {
+      shardPass(spark, df, targetCol, contentCol, p, thePlan, entries,
+        layout.numGroups, coarseBits, coarseH, twoLevel)
+    }
+    val shardRows = binsDf.collect().map { r =>
+      (r.getInt(0), r.getAs[Array[Byte]]("shard"),
+        if (twoLevel) r.getAs[Array[Byte]]("coarse") else null)
+    }
+    (cards, thePlan, layout, shardRows)
+  }
+
+  /** The routed shard aggregation over `df` for the given bin-map entries
+    * (target, base, split). Returns one row per touched 64-bin group. */
+  private def shardPass(spark: SparkSession, df: DataFrame, targetCol: String,
+      contentCol: String, p: IbfParams, thePlan: IbfPlan,
+      entries: Seq[(String, Int, Int)], numGroups: Int,
+      coarseBits: Long = 64L, coarseH: Int = 1,
+      twoLevel: Boolean = false): DataFrame = {
     val layoutDf = broadcast(
-      spark.createDataFrame(cards.indices.map(i =>
-        (cards(i)._1, layout.base(i), layout.split(i))))
-        .toDF("target", "base", "split"))
+      spark.createDataFrame(entries).toDF("target", "base", "split"))
     val parts = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
@@ -362,38 +380,142 @@ object SketchBuild {
         byGrp.iterator.map { case (g, b) => (g, b.result()) }.toArray
       }
     })
-    val binsDf = checkpointed(spark, checkpointDir, "pass2_group_shards") {
-      val base =
-        if (p.minContentLen > 0) df.filter(length(col(contentCol)) >= p.minContentLen)
-        else df
-      val routed = base
-        .select(col(targetCol).as("target"),
-          GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
-        .join(layoutDf, Seq("target"))
-        .select(col("base"), col("split"),
-          explode(route(col("hs"), col("base"), col("split"))).as("r"))
-        .select(col("r._1").as("grp"), col("base"), col("split"),
-          col("r._2").as("hs"))
-      // enough groups -> exchange-free complete aggregation (one task per
-      // group, zero partial blobs); few groups -> map-side partials are
-      // cheap (numGroups x shardBytes per task) and keep input parallelism
-      val pre =
-        if (layout.numGroups >= parts) routed.repartition(layout.numGroups, col("grp"))
-        else routed
-      val aggCols =
-        GraftFunctions.ibfShard(col("grp"), col("base"), col("split"),
-          col("hs"), thePlan.bitsPerBin, thePlan.numHashes).as("shard") ::
-        (if (twoLevel)
-          List(GraftFunctions.bloomSketch(col("hs"), coarseBits, coarseH)
-            .as("coarse"))
-         else Nil)
-      pre.groupBy("grp").agg(aggCols.head, aggCols.tail: _*)
+    val base =
+      if (p.minContentLen > 0) df.filter(length(col(contentCol)) >= p.minContentLen)
+      else df
+    val routed = base
+      .select(col(targetCol).as("target"),
+        GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
+      .join(layoutDf, Seq("target"))
+      .select(col("base"), col("split"),
+        explode(route(col("hs"), col("base"), col("split"))).as("r"))
+      .select(col("r._1").as("grp"), col("base"), col("split"),
+        col("r._2").as("hs"))
+    // enough groups -> exchange-free complete aggregation (one task per
+    // group, zero partial blobs); few groups -> map-side partials are
+    // cheap (numGroups x shardBytes per task) and keep input parallelism
+    val pre =
+      if (numGroups >= parts) routed.repartition(numGroups, col("grp"))
+      else routed
+    val aggCols =
+      GraftFunctions.ibfShard(col("grp"), col("base"), col("split"),
+        col("hs"), thePlan.bitsPerBin, thePlan.numHashes).as("shard") ::
+      (if (twoLevel)
+        List(GraftFunctions.bloomSketch(col("hs"), coarseBits, coarseH)
+          .as("coarse"))
+       else Nil)
+    pre.groupBy("grp").agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /**
+   * Incremental update of a built db (capability of `ganon update`,
+   * reference src/ganon/build_update.py:157, tests/ganon/integration/
+   * test_update.py): add new targets / new content and drop targets
+   * WITHOUT rebuilding untouched bins.
+   *
+   * The plan (bitsPerBin, numHashes, maxHashesBin) is frozen: new targets
+   * get fresh technical bins appended after the current layout (split at
+   * the same capacity), removed targets have their bin columns zeroed
+   * (bins stay allocated — compaction would re-route every surviving
+   * hash), and rows for EXISTING targets route into their existing bins.
+   * Only the touched 64-bin groups are re-aggregated; the untouched
+   * filter columns are copied bit-for-bit. If an existing target grows
+   * past its planned capacity its realized FP drifts above budget — the
+   * returned plan's expectedMaxFp reports the drift; rebuild to recover.
+   */
+  def update(spark: SparkSession, db: SketchDb, addDf: DataFrame,
+      targetCol: String, contentCol: String,
+      removeTargets: Seq[String] = Nil): SketchDb = {
+    import spark.implicits._
+    val p = db.params
+    val removeSet = removeTargets.toSet
+
+    // pass 1 on the delta only
+    val addCards =
+      if (addDf == null) Seq.empty[(String, Long)]
+      else targetCardinalities(addDf, targetCol, contentCol, p)
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val (existingAdds, newAdds) =
+      addCards.partition(c => db.targetIndex.contains(c._1))
+    require(existingAdds.forall(c => !removeSet.contains(c._1)) &&
+      newAdds.forall(c => !removeSet.contains(c._1)),
+      "cannot add and remove the same target")
+
+    // surviving + new layout entries (bases of survivors are untouched)
+    val survivors = db.targets.indices.filterNot(i => removeSet(db.targets(i)))
+    var nextBin = db.layout.numBins
+    val newEntries = newAdds.map { case (t, c) =>
+      val split = math.max(1L, (math.max(1L, c) + db.plan.maxHashesBin - 1) /
+        db.plan.maxHashesBin).toInt
+      val e = (t, nextBin, split)
+      nextBin += split
+      e
     }
-    val shardRows = binsDf.collect().map { r =>
-      (r.getInt(0), r.getAs[Array[Byte]]("shard"),
-        if (twoLevel) r.getAs[Array[Byte]]("coarse") else null)
+    val targets =
+      (survivors.map(db.targets) ++ newAdds.map(_._1)).toArray
+    val addByTarget = existingAdds.toMap
+    val counts =
+      (survivors.map(i => db.targetHashes(i) +
+        addByTarget.getOrElse(db.targets(i), 0L)) ++ newAdds.map(_._2)).toArray
+    val bases =
+      (survivors.map(db.layout.base) ++ newEntries.map(_._2)).toArray
+    val splits =
+      (survivors.map(db.layout.split) ++ newEntries.map(_._3)).toArray
+    val layout = BinLayout(bases, splits, nextBin)
+
+    // re-stride the old filter into the (possibly wider) new bin space
+    val ibf = InterleavedBloom.empty(nextBin, db.plan.bitsPerBin,
+      db.plan.numHashes)
+    val wOld = db.ibf.wordsPerRow
+    val wNew = ibf.wordsPerRow
+    var pos = 0L
+    while (pos < db.plan.bitsPerBin) {
+      var g = 0
+      while (g < wOld) {
+        ibf.words((pos * wNew + g).toInt) = db.ibf.words((pos * wOld + g).toInt)
+        g += 1
+      }
+      pos += 1
     }
-    (cards, thePlan, layout, shardRows)
+    // zero removed targets' bin columns
+    removeSet.foreach { t =>
+      val i = db.targetIndex(t)
+      var b = db.layout.base(i)
+      val end = b + db.layout.split(i)
+      while (b < end) {
+        val word = b >>> 6
+        val mask = ~(1L << (b & 63))
+        var p2 = 0L
+        while (p2 < db.plan.bitsPerBin) {
+          ibf.words((p2 * wNew + word).toInt) &= mask
+          p2 += 1
+        }
+        b += 1
+      }
+    }
+    // shard-aggregate the delta and OR the touched group columns in
+    if (addDf != null && addCards.nonEmpty) {
+      val entries = existingAdds.map { case (t, _) =>
+        val i = db.targetIndex(t)
+        (t, db.layout.base(i), db.layout.split(i))
+      } ++ newEntries
+      val touched = shardPass(spark, addDf, targetCol, contentCol, p,
+        db.plan, entries, layout.numGroups)
+        .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("shard")))
+      touched.foreach { case (g, blob) =>
+        val shard = InterleavedBloom.fromBytes(blob)
+        var p2 = 0L
+        while (p2 < db.plan.bitsPerBin) {
+          ibf.words((p2 * wNew + g).toInt) |= shard.words(p2.toInt)
+          p2 += 1
+        }
+      }
+    }
+    val (maxFpReal, _) = Sizing.trueFalsePositive(
+      counts.map(math.max(1L, _)), db.plan.maxHashesBin, db.plan.bitsPerBin,
+      db.plan.numHashes)
+    new SketchDb(ibf, targets, counts, layout, p,
+      db.plan.copy(numBins = nextBin, expectedMaxFp = maxFpReal))
   }
 
   private def checkpointed(spark: SparkSession, dir: Option[String],

@@ -183,16 +183,33 @@ object Classify {
    * MAX count. All dbs must share shingling params. Implemented as one
    * fused per-read pass over the broadcast dbs — still zero shuffles.
    */
+  /**
+   * @param perFilterCutoff optional per-db rel-cutoff overrides (the
+   *        reference allows a different cutoff per filter within one
+   *        hierarchy level, GanonClassify.cpp:353-401); empty = every
+   *        filter uses cp.relCutoff. rel-filter and fpr-query stay
+   *        level-wide, applied after the max-count merge.
+   */
   def classifyMultiFilter(spark: SparkSession, reads: DataFrame, idCol: String,
       contentCol: String, dbs: Seq[ProbeDb],
       cp: ClassifyParams = ClassifyParams(),
-      lcaOpt: Option[Lca] = None): Dataset[ReadResult] = {
+      lcaOpt: Option[Lca] = None,
+      perFilterCutoff: Seq[Double] = Nil): Dataset[ReadResult] = {
     require(dbs.nonEmpty)
     require(dbs.forall(d => d.params.k == dbs.head.params.k &&
       d.params.w == dbs.head.params.w && d.params.seed == dbs.head.params.seed),
       "multi-filter dbs must share shingling params")
+    require(perFilterCutoff.isEmpty || perFilterCutoff.length == dbs.length,
+      "one cutoff per filter")
     import spark.implicits._
+    val rels =
+      if (perFilterCutoff.isEmpty) Array.fill(dbs.length)(cp.relCutoff)
+      else perFilterCutoff.toArray
+    // the merged pass re-checks at the LOOSEST cutoff; per-filter strictness
+    // is enforced inside the merged probe before the max-count merge
+    val cpEff = cp.copy(relCutoff = rels.min)
     val dbsB = spark.sparkContext.broadcast(dbs.toArray)
+    val relsB = spark.sparkContext.broadcast(rels)
     val lcaB = spark.sparkContext.broadcast(lcaOpt)
     val p0 = dbs.head.params
     val shExpr = graft.spark.ShinglesExpr.col(
@@ -204,19 +221,21 @@ object Classify {
       .mapPartitions { iter =>
         val ds = dbsB.value
         val lca = lcaB.value
-        val merged = new MergedProbeDb(ds)
+        val merged = new MergedProbeDb(ds, relsB.value)
         val counts = new Array[Int](merged.targets.length)
         iter.map { case (id, len, hs) =>
-          classifyOne(id, len, hs, merged, cp, lca, counts)
+          classifyOne(id, len, hs, merged, cpEff, lca, counts)
         }
       }
   }
 
   /** View over several dbs: union of targets; per-target count = MAX across
-    * member filters (first filter wins the tax entry on collisions, like
+    * member filters, each filter's matches pre-thresholded at ITS
+    * rel-cutoff (first filter wins the tax entry on collisions, like
     * the reference's ordered merge). */
-  private[classify] final class MergedProbeDb(dbs: Array[ProbeDb])
-      extends ProbeDb {
+  private[classify] final class MergedProbeDb(dbs: Array[ProbeDb],
+      rels: Array[Double]) extends ProbeDb {
+    def this(dbs: Array[ProbeDb]) = this(dbs, dbs.map(_ => 0.0))
     val targets: Array[String] = {
       val seen = new scala.collection.mutable.LinkedHashSet[String]
       dbs.foreach(_.targets.foreach(seen += _))
@@ -242,15 +261,23 @@ object Classify {
       fp
     }
     def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
-      dbs.foreach { d =>
+      var di = 0
+      while (di < dbs.length) {
+        val d = dbs(di)
+        val dCut = math.max(cutoff,
+          math.max(1, math.ceil(hashes.length * rels(di)).toInt))
         val local = new Array[Int](d.targets.length)
-        d.probe(hashes, local, cutoff)
+        d.probe(hashes, local, dCut)
         var i = 0
         while (i < local.length) {
-          val g = idx(d.targets(i))
-          if (local(i) > counts(g)) counts(g) = local(i)
+          // per-filter cutoff applies BEFORE the max-count merge
+          if (local(i) >= dCut) {
+            val g = idx(d.targets(i))
+            if (local(i) > counts(g)) counts(g) = local(i)
+          }
           i += 1
         }
+        di += 1
       }
     }
     def sizeBytes: Long = dbs.map(_.sizeBytes).sum

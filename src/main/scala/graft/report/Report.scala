@@ -1,6 +1,6 @@
 package graft.report
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,68 @@ object Report {
       .select(col("node"), col("rank_depth"),
         col("direct_count").as("direct"), col("cumulative"), col("cum_perc"))
       .orderBy(col("rank_depth").asc, col("cumulative").desc, col("node").asc)
+  }
+
+  /**
+   * Report sort modes with root pinning (report.py:808-864): the root row
+   * always sorts first; below it,
+   *   "rank" (default): (rank_depth, -cum_perc)   — fixed-ranks order
+   *   "lineage":        lineage array, elementwise lexicographic
+   *   "count":          -cumulative
+   *   "unique":         (-unique, -cum_perc)      — needs a unique column
+   * Emits an explicit `pos` column (1-based) so downstream consumers (and
+   * oracles) see the order relationally.
+   */
+  def sortTree(tre: DataFrame, lineage: DataFrame, mode: String = "rank",
+      rootNode: String = "root"): DataFrame = {
+    val withLin = tre.join(broadcast(lineage), Seq("node"), "left")
+    val rootFirst = when(col("node") === rootNode, 0).otherwise(1)
+    val keys: Seq[Column] = mode match {
+      case "lineage" => Seq(rootFirst, col("lineage").asc)
+      case "count"   => Seq(rootFirst, col("cumulative").desc, col("node").asc)
+      case "unique"  => Seq(rootFirst, col("unique").desc,
+        col("cum_perc").desc, col("node").asc)
+      case _         => Seq(rootFirst, col("rank_depth").asc,
+        col("cum_perc").desc, col("node").asc)
+    }
+    // reports are small (|nodes| rows) — a global rank window is fine here
+    import org.apache.spark.sql.expressions.Window
+    withLin.withColumn("pos", row_number().over(Window.orderBy(keys: _*)))
+      .drop("lineage")
+      .orderBy(col("pos"))
+  }
+
+  /**
+   * Genome-size estimation with parent fallback (tax_util.py:161-224):
+   * each node's size = mean of the sizes of its leaf descendants that have
+   * one; nodes with no sized leaves inherit the deepest sized ancestor's
+   * value, falling back to the global mean at the root.
+   *
+   * @param lineage   (node, lineage: Array[String]) root-first inclusive,
+   *                  for every node (leaves included)
+   * @param leafSizes (node, size) for the subset of leaves with data
+   * @return (node, size) for every node in `lineage`
+   */
+  def genomeSizesWithFallback(lineage: DataFrame, leafSizes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = leafSizes.select(col("node").as("leaf"), col("size"))
+    // leaves' lineages distribute their size to every ancestor
+    val perAnc = lineage.join(sized, lineage("node") === sized("leaf"))
+      .select(explode(col("lineage")).as("anc"), col("size"))
+      .groupBy("anc").agg(avg(col("size")).as("anc_size"))
+    val globalAvg = sized.agg(avg(col("size"))).first().getDouble(0)
+    // node size = deepest sized ancestor (self included)
+    val w = Window.partitionBy("node").orderBy(col("pos").desc)
+    val resolved = lineage
+      .select(col("node"), posexplode(col("lineage")).as(Seq("pos", "anc")))
+      .join(broadcast(perAnc), Seq("anc"), "left")
+      .filter(col("anc_size").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("anc_size").as("size"))
+    lineage.select("node")
+      .join(resolved, Seq("node"), "left")
+      .withColumn("size", coalesce(col("size"), lit(globalAvg)))
   }
 
   /** min-count filter with ganon's dual semantics: v < 1 means fraction of
@@ -164,6 +226,40 @@ object Table {
     val rowSum = nonZeroCols.map(col).reduceOption(_ + _).getOrElse(lit(0))
     pivoted.select((col("sample") +: nonZeroCols.map(col)): _*)
       .filter(rowSum > 0)
+  }
+
+  /** Global top-k nodes by percentage summed over samples
+    * (table.py:253-277 select_top_all); the root node is always kept and
+    * does not consume a slot. Ties break deterministically (node asc). */
+  def topKGlobal(rep: DataFrame, k: Int, rootNode: String = "root"): DataFrame = {
+    val w = Window.partitionBy("sample")
+    val perc = rep.withColumn("perc",
+      col("count") / sum(col("count")).over(w) * 100.0)
+    val top = perc.filter(col("node") =!= rootNode)
+      .groupBy("node").agg(sum(col("perc")).as("sum_perc"))
+      .orderBy(col("sum_perc").desc, col("node").asc)
+      .limit(k).select("node")
+      .union(rep.select(lit(rootNode).as("node")).limit(1))
+    rep.join(broadcast(top), Seq("node"), "left_semi")
+  }
+
+  /** Table-side min/max-count with the dual int/fraction semantics
+    * (table.py:199-210): v > 1 absolute count, 0 < v < 1 fraction of the
+    * SAMPLE's total. Zero disables the bound. */
+  def minMaxCount(rep: DataFrame, minCount: Double = 0, maxCount: Double = 0)
+      : DataFrame = {
+    val w = Window.partitionBy("sample")
+    val withFrac = rep.withColumn("__frac",
+      col("count") / sum(col("count")).over(w))
+    val lo =
+      if (minCount <= 0) withFrac
+      else if (minCount > 1) withFrac.filter(col("count") >= minCount)
+      else withFrac.filter(col("__frac") >= minCount)
+    val hi =
+      if (maxCount <= 0) lo
+      else if (maxCount > 1) lo.filter(col("count") <= maxCount)
+      else lo.filter(col("__frac") <= maxCount)
+    hi.drop("__frac")
   }
 
   /** keep nodes present in >= m samples (table.py:280-297). */

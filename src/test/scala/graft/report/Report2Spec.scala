@@ -9,6 +9,79 @@ class Report2Spec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("sortTree: modes + root pinning (report.py:808-864)") {
+    val tre = Seq(
+      ("root", 0L, 0L, 100L, 100.0, 0L),
+      ("a", 1L, 10L, 60L, 60.0, 5L),
+      ("b", 1L, 5L, 40L, 40.0, 9L),
+      ("a/x", 2L, 30L, 30L, 30.0, 2L),
+      ("b/z", 2L, 35L, 35L, 35.0, 1L))
+      .toDF("node", "rank_depth", "direct", "cumulative", "cum_perc", "unique")
+    val lineage = Seq(
+      ("root", Seq("root")), ("a", Seq("root", "a")), ("b", Seq("root", "b")),
+      ("a/x", Seq("root", "a", "a/x")), ("b/z", Seq("root", "b", "b/z")))
+      .toDF("node", "lineage")
+    def order(mode: String) =
+      Report.sortTree(tre, lineage, mode).select("node").collect().map(_.getString(0))
+    assert(order("rank").sameElements(
+      Seq("root", "a", "b", "b/z", "a/x")))
+    assert(order("lineage").sameElements(
+      Seq("root", "a", "a/x", "b", "b/z")))
+    assert(order("count").sameElements(
+      Seq("root", "a", "b", "b/z", "a/x")))
+    assert(order("unique").sameElements(
+      Seq("root", "b", "a", "a/x", "b/z")))
+    // root pinned first even when it would sort last
+    assert(order("unique").head == "root")
+  }
+
+  test("genomeSizesWithFallback: leaf average + parent fallback (tax_util.py:161-224)") {
+    val lineage = Seq(
+      ("root", Seq("root")),
+      ("a", Seq("root", "a")), ("b", Seq("root", "b")),
+      ("a/x", Seq("root", "a", "a/x")), ("a/y", Seq("root", "a", "a/y")),
+      ("b/z", Seq("root", "b", "b/z")))
+      .toDF("node", "lineage")
+    val leafSizes = Seq(("a/x", 100L), ("a/y", 300L)).toDF("node", "size")
+    val out = Report.genomeSizesWithFallback(lineage, leafSizes)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out("a/x") == 100.0 && out("a/y") == 300.0)
+    assert(out("a") == 200.0)          // mean of sized leaves below
+    assert(out("root") == 200.0)       // mean over all sized leaves
+    assert(out("b") == 200.0)          // no sized leaves -> parent (root)
+    assert(out("b/z") == 200.0)        // fallback walks to deepest sized anc
+  }
+
+  test("table: topKGlobal keeps root + top summed-percentage nodes") {
+    val rep = Seq(
+      ("s1", "root", 100L), ("s1", "a", 60L), ("s1", "b", 30L), ("s1", "c", 10L),
+      ("s2", "root", 100L), ("s2", "a", 10L), ("s2", "b", 80L), ("s2", "c", 10L))
+      .toDF("sample", "node", "count")
+    val kept = Table.topKGlobal(rep, 1).select("node").distinct()
+      .collect().map(_.getString(0)).toSet
+    // b: 30/200+80/200 sums higher than a; root always kept, free slot
+    assert(kept == Set("root", "b"))
+  }
+
+  test("table: minMaxCount dual semantics (table.py:199-210)") {
+    val rep = Seq(
+      ("s1", "a", 60L), ("s1", "b", 30L), ("s1", "c", 10L),
+      ("s2", "a", 2L), ("s2", "b", 8L))
+      .toDF("sample", "node", "count")
+    // absolute: count >= 10
+    val abs = Table.minMaxCount(rep, minCount = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(abs == Set(("s1", "a"), ("s1", "b"), ("s1", "c")))
+    // fraction: >= 30% of the sample total
+    val frac = Table.minMaxCount(rep, minCount = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(frac == Set(("s1", "a"), ("s1", "b"), ("s2", "b")))
+    // max as fraction: <= 50%
+    val mx = Table.minMaxCount(rep, maxCount = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mx == Set(("s1", "b"), ("s1", "c"), ("s2", "a")))
+  }
+
   test("sizeCorrection: conserves the per-rank total (report.py:649 assert)") {
     val tre = Seq(
       ("a", 1L, 60L), ("b", 1L, 40L),
