@@ -277,7 +277,8 @@ object SparkEntry {
       // J == 1.0 pairs have identical signatures -> found with prob 1;
       // 16-row bands keep saturated-vocab buckets small (r=16: a random
       // pair at J=0.7 collides with prob 0.7^16 ~= 0.003)
-      Dedup.minhashPairs(s, sets, numPerms = 128, bands = 8, threshold = 1.0)
+      Dedup.minhashPairs(s, sets, numPerms = 128, bands = 8, threshold = 1.0,
+        oph = false)
         .select(col("doc_a"), col("doc_b"))
     }),
 
@@ -300,6 +301,23 @@ object SparkEntry {
       val w = Window.partitionBy("grp")
       sh.select(col("doc_id"),
         (min(col("simhash")).over(w) === max(col("simhash")).over(w)).as("ok"))
+    }),
+
+    "q39_fingerprint" -> ((s, dir) => {
+      // rolling-hash document fingerprints: within an exact-duplicate text
+      // group all fingerprints agree, and distinct texts in this corpus
+      // slice produce distinct fingerprints (64-bit collisions at these
+      // cardinalities ~ 1e-11) — both sides SQL-expressible
+      val docs = t(s, dir, "documents")
+      val fp = TextStats.fingerprints(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+          sha2(col("text"), 256).as("grp")), Seq("doc_id"))
+      val w = Window.partitionBy("grp")
+      val nGroups = docs.select(sha2(col("text"), 256)).distinct().count()
+      val nFps = fp.select("fingerprint").distinct().count()
+      fp.select(col("doc_id"),
+        (min(col("fingerprint")).over(w) === max(col("fingerprint")).over(w)
+          && lit(nFps == nGroups)).as("ok"))
     }),
 
     "q20_stream_window" -> ((s, dir) => {
@@ -998,6 +1016,10 @@ object SparkEntry {
         |WHERE s.c >= thr.mx - CEIL((thr.mx - thr.mn) * 0.1)""".stripMargin,
 
     "q38_multifilter" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q39_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
 

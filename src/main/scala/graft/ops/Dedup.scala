@@ -40,22 +40,39 @@ object Dedup {
    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold
    */
   def minhashPairs(spark: SparkSession, hashSets: DataFrame, numPerms: Int,
-      bands: Int, threshold: Double, maxBucket: Int = 10000): DataFrame = {
+      bands: Int, threshold: Double, maxBucket: Int = 10000,
+      oph: Boolean = true): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val sigCol =
+      if (oph) GraftFunctions.minhashSignature(col("hs"), numPerms)
+      else GraftFunctions.minhashSignatureKPerm(col("hs"), numPerms)
     val keyed = hashSets
-      .withColumn("sig", GraftFunctions.minhashSignature(col("hs"), numPerms))
+      .withColumn("sig", sigCol)
       .withColumn("band", explode(GraftFunctions.lshBandKeys(col("sig"), bands)))
       .select(col("band"), col("id"))
 
     // candidate generation carries ONLY (band, id): the hash sets join back
     // just for the surviving pairs. Mega-buckets (saturated vocab / skew)
-    // are capped at maxBucket members — at scale, cap + salt-by-sig-prefix
-    // bounds the worst bucket to O(maxBucket^2) pairs.
+    // are capped at maxBucket members, bounding the worst bucket to
+    // O(maxBucket^2) pairs. Truncation is OBSERVABLE via an accumulator
+    // (salting band keys by a signature prefix would bound buckets too,
+    // but it zeroes recall for pairs whose signatures differ — capping
+    // loses only saturated-bucket members, which are near-identical and
+    // caught by exact dedup). Identical docs share identical signatures,
+    // hence identical ranks ordering by id: a J == 1 pair is only lost if
+    // the pair itself straddles the cap, i.e. a dup GROUP larger than
+    // maxBucket.
+    val dropped = spark.sparkContext.longAccumulator("lsh_dropped_bucket_members")
+    val keepOrCount = udf((rnk: Int) => {
+      val keep = rnk <= maxBucket
+      if (!keep) dropped.add(1L)
+      keep
+    })
     val capped = keyed
       .withColumn("rnk", row_number().over(
         Window.partitionBy("band").orderBy("id")))
-      .filter(col("rnk") <= maxBucket)
+      .filter(keepOrCount(col("rnk")))
       .drop("rnk")
     val candidates = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))

@@ -32,8 +32,19 @@ object GraftFunctions {
 
   def hash64(c: Column): Column = hash64Udf(c)
 
-  /** MinHash signature of a row's shingle set. */
+  /** MinHash signature of a row's shingle set — one-permutation hashing
+    * with rotation densification (one mix64 per element, not numPerms). */
   def minhashSignature(hashes: Column, numPerms: Int,
+      seed: Long = Hashing.DefaultSeed): Column = {
+    val f = udf((hs: Array[Long]) =>
+      MinHash.signatureOPH(
+        if (hs == null) Array.emptyLongArray else hs, numPerms, seed))
+    f(hashes)
+  }
+
+  /** The k-independent-permutations variant (reference estimator for the
+    * OPH fast path in tests). */
+  def minhashSignatureKPerm(hashes: Column, numPerms: Int,
       seed: Long = Hashing.DefaultSeed): Column = {
     val seeds = MinHash.permSeeds(numPerms, seed)
     val f = udf((hs: Array[Long]) =>

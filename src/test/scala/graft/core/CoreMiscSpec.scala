@@ -77,6 +77,21 @@ class CoreMiscSpec extends AnyFunSuite {
     assert(math.abs(est - 1.0 / 3.0) < 0.15, s"est=$est")
   }
 
+  test("minhash OPH: identical sets identical sigs; estimator tracks J") {
+    val a = Hashing.sortedDistinct(Array.tabulate(500)(i => Hashing.hashLong(i.toLong, 1)))
+    val b = Hashing.sortedDistinct(Array.tabulate(500)(i => Hashing.hashLong(i.toLong, 1)))
+    assert(MinHash.signatureOPH(a, 128).sameElements(MinHash.signatureOPH(b, 128)))
+    // half-overlapping sets -> J = 1/3; OPH estimate within 0.15
+    val c = Hashing.sortedDistinct(Array.tabulate(1000)(i => Hashing.hashLong(i.toLong, 1)))
+    val d = Hashing.sortedDistinct(
+      Array.tabulate(1000)(i => Hashing.hashLong((i + 500).toLong, 1)))
+    val est = MinHash.estimateJaccard(
+      MinHash.signatureOPH(c, 128), MinHash.signatureOPH(d, 128))
+    assert(math.abs(est - 1.0 / 3.0) < 0.15, s"est=$est")
+    // all buckets fill after densification even for tiny sets
+    assert(!MinHash.signatureOPH(a.take(3), 128).contains(Long.MaxValue))
+  }
+
   test("minhash: exactJaccard over sorted-distinct arrays") {
     val a = Hashing.sortedDistinct(Array(1L, 2L, 3L, 4L))
     val b = Hashing.sortedDistinct(Array(3L, 4L, 5L, 6L))

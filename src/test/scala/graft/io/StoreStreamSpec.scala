@@ -93,4 +93,16 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSeq == Seq("T1", "T3", "b.fa"))
     assert(rows(1).getString(2) == "nodeX")
   }
+
+  test("formats: batch-reads manifest (prefix \\t file1 [\\t file2])") {
+    val tmp = java.nio.file.Files.createTempFile("graft_bm", ".tsv")
+    java.nio.file.Files.writeString(tmp,
+      "sampleA\t/r/a1.fq\t/r/a2.fq\nsampleB\t/r/b.fq\n")
+    val df = Formats.readBatchManifest(spark, tmp.toString)
+    val rows = df.orderBy("sample").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "sampleA" &&
+      rows(0).getString(2) == "/r/a2.fq")
+    assert(rows(1).getString(0) == "sampleB" && rows(1).isNullAt(2))
+  }
 }

@@ -95,4 +95,24 @@ class ReportEmSpec extends AnyFunSuite {
     // no unique evidence: equal probs -> tie-break target asc -> A for both
     assert(out("m1") == "A" && out("m2") == "A")
   }
+
+  test("em: .rep rewrite — lca column = reassigned - unique (reassign.py:180-224)") {
+    val all = Seq(
+      ("u1", "A", 9),                    // unique A
+      ("u2", "B", 9),                    // unique B
+      ("m1", "A", 5), ("m1", "B", 4),    // multi -> EM
+      ("m2", "A", 5), ("m2", "B", 4))
+      .toDF("read_id", "target", "kmer_count")
+    val (one, rep) = Em.reassignWithRep(spark, all)
+    val r = rep.collect()
+      .map(x => (x.getString(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // unique_reads from single-match reads; lca = EM-assigned multis;
+    // matches = raw .all rows per target
+    assert(r("A")._1 == 1 && r("B")._1 == 1)
+    assert(r("A")._2 + r("B")._2 == 2)           // both multis reassigned
+    assert(r("A")._3 == 3 && r("B")._3 == 3)
+    // conservation: every read appears exactly once in .one
+    assert(one.select("read_id").distinct().count() == one.count())
+    assert(one.count() == 4)
+  }
 }
