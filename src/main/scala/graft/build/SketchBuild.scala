@@ -204,6 +204,91 @@ final class TwoLevelSketchDb(
 }
 
 /**
+ * Two-level layout with LAZY shards: only the coarse filter and the bin
+ * metadata ship with the broadcast; each executor fetches a group's fine
+ * shard from the sketch store ON FIRST PROBE of that group and caches it
+ * for the executor's lifetime. With coarse pruning, shards for groups a
+ * workload never hits are never read — executor memory is bounded by the
+ * WORKING SET of groups, not the database size (the HIBF lazy-load story;
+ * the reference keeps the whole HIBF resident, GanonClassify.cpp:949-986).
+ *
+ * `readShard` resolves through the Hadoop FileSystem API, so the store can
+ * live on file://, hdfs:// or any mounted FS.
+ */
+final class LazyTwoLevelDb(
+    val coarse: InterleavedBloom,
+    val targets: Array[String],
+    val targetHashes: Array[Long],
+    val layout: BinLayout,
+    val params: IbfParams,
+    val plan: IbfPlan,
+    shardDir: String) extends SplitBinDb {
+
+  private val groupCutoffSafe = !layout.anyGroupSpanning
+
+  @transient private lazy val shardCache =
+    new java.util.concurrent.atomic.AtomicReferenceArray[InterleavedBloom](
+      layout.numGroups)
+
+  private def shard(g: Int): InterleavedBloom = {
+    var s = shardCache.get(g)
+    if (s == null) {
+      s = readShard(g)
+      shardCache.compareAndSet(g, null, s)
+      s = shardCache.get(g)
+    }
+    s
+  }
+
+  private def readShard(g: Int): InterleavedBloom = {
+    val path = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(path)
+    try {
+      val len = fs.getFileStatus(path).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      InterleavedBloom.fromBytes(buf)
+    } finally in.close()
+  }
+
+  def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
+    val gc = new Array[Int](layout.numGroups)
+    coarse.bulkCount(hashes, gc)
+    val effCutoff = if (groupCutoffSafe) cutoff else 1
+    val tech = techScratch.get()
+    java.util.Arrays.fill(tech, 0)
+    var g = 0
+    while (g < layout.numGroups) {
+      if (gc(g) >= effCutoff) {
+        val sh = shard(g)
+        val local = new Array[Int](sh.numBins)
+        sh.bulkCount(hashes, local)
+        val off = g * 64
+        var i = 0
+        while (i < sh.numBins) { tech(off + i) += local(i); i += 1 }
+      }
+      g += 1
+    }
+    foldToTargets(tech, counts)
+  }
+
+  /** Broadcast footprint: the coarse filter only (shards stay off-heap of
+    * the broadcast, fetched per executor on demand). */
+  def sizeBytes: Long = coarse.sizeBytes
+
+  /** How many shards this JVM has materialized (observability/tests). */
+  def loadedShards: Int = {
+    var n = 0; var g = 0
+    while (g < layout.numGroups) {
+      if (shardCache.get(g) != null) n += 1
+      g += 1
+    }
+    n
+  }
+}
+
+/**
  * Distributed build (Spark shape of ganon-build's two thread pools,
  * src/ganon-build/GanonBuild.cpp:752-921):
  *

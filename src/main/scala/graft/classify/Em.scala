@@ -34,8 +34,12 @@ object Em {
       Seq("read_id"), "left")
     val uniques = withN.filter(col("n_m").isNotNull)
       .select("read_id", "target", "kmer_count")
+    // bucket the multi-match relation by read_id ONCE: every iteration's
+    // per-read argmax window then reuses this partitioning (sort only,
+    // no exchange), instead of re-shuffling the full relation x maxIter
     val multis = withN.filter(col("n_m").isNull)
-      .select("read_id", "target", "kmer_count").persist()
+      .select("read_id", "target", "kmer_count")
+      .repartition(col("read_id")).persist()
 
     // init probs from unique counts (+1 smoothing so zero-unique targets
     // can still attract reads, as reassign.py's eps does)

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
-import graft.build.{BinLayout, IbfParams, IbfPlan, ProbeDb, SketchDb, SplitBinDb, TwoLevelSketchDb}
+import graft.build.{BinLayout, IbfParams, IbfPlan, LazyTwoLevelDb, ProbeDb, SketchDb, SplitBinDb, TwoLevelSketchDb}
 import graft.core.sketch.{Bloom, InterleavedBloom}
 
 /**
@@ -51,10 +51,30 @@ object SketchStore {
     db.shards.zipWithIndex.map { case (shard, g) => (g, shard.toBytes) }
       .toSeq.toDF("grp", "ibf")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/shards.parquet")
+    // raw per-group blobs: the executor-side lazy-load unit (one open+read
+    // per group, no parquet machinery inside tasks)
+    val conf = spark.sparkContext.hadoopConfiguration
+    db.shards.zipWithIndex.foreach { case (shard, g) =>
+      val path = new org.apache.hadoop.fs.Path(s"$dir/shards/grp_$g.bin")
+      val fs = path.getFileSystem(conf)
+      val out = fs.create(path, true)
+      try out.write(shard.toBytes) finally out.close()
+    }
   }
 
-  /** Load either layout, dispatching on the manifest. */
-  def loadAny(spark: SparkSession, dir: String): ProbeDb = {
+  /** Two-level load with LAZY shards: ships only coarse + metadata;
+    * executors fetch `dir/shards/grp_<g>.bin` on first probe of group g
+    * (see [[graft.build.LazyTwoLevelDb]]). */
+  def loadTwoLevelLazy(spark: SparkSession, dir: String): LazyTwoLevelDb = {
+    val (params, layout, plan, targets, counts, coarseBytes, layoutKind) =
+      readManifest(spark, dir)
+    require(layoutKind == "two", s"not a two-level store: $layoutKind")
+    new LazyTwoLevelDb(InterleavedBloom.fromBytes(coarseBytes), targets,
+      counts, layout, params, plan, s"$dir/shards")
+  }
+
+  private def readManifest(spark: SparkSession, dir: String)
+      : (IbfParams, BinLayout, IbfPlan, Array[String], Array[Long], Array[Byte], String) = {
     val m = spark.read.parquet(s"$dir/manifest.parquet").head()
     val version = m.getAs[Int]("version")
     require(version == FormatVersion, s"unsupported version $version")
@@ -70,10 +90,16 @@ object SketchStore {
       m.getAs[Int]("num_hashes"), m.getAs[Long]("max_hashes_bin"),
       Sizing2.maxFpOf(bins.map(_._2), m.getAs[Long]("max_hashes_bin"),
         m.getAs[Long]("bits_per_bin"), m.getAs[Int]("num_hashes")))
-    val targets = bins.map(_._1)
-    val counts = bins.map(_._2)
-    val blob = InterleavedBloom.fromBytes(m.getAs[Array[Byte]]("ibf"))
-    m.getAs[String]("layout") match {
+    (params, layout, plan, bins.map(_._1), bins.map(_._2),
+      m.getAs[Array[Byte]]("ibf"), m.getAs[String]("layout"))
+  }
+
+  /** Load either layout, dispatching on the manifest. */
+  def loadAny(spark: SparkSession, dir: String): ProbeDb = {
+    val (params, layout, plan, targets, counts, ibfBytes, layoutKind) =
+      readManifest(spark, dir)
+    val blob = InterleavedBloom.fromBytes(ibfBytes)
+    layoutKind match {
       case "flat" =>
         new SketchDb(blob, targets, counts, layout, params, plan)
       case "two" =>

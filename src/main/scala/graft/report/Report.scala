@@ -101,6 +101,92 @@ object Report {
       .withColumn("size", coalesce(col("size"), lit(globalAvg)))
   }
 
+  /**
+   * `.tre` output formats (report.py:299-425): tsv (default), csv, text
+   * (columns padded to the per-column max width), bioboxes (CAMI profiling
+   * header + TAXID/RANK/TAXPATH/TAXPATHSN/PERCENTAGE rows, root omitted).
+   * Returns a single-`line` DataFrame ordered by the input's `pos` column
+   * (produce it with [[sortTree]]); write with `.write.text`.
+   *
+   * @param rows (pos, node, rank, lineage: Array[String], name, unique,
+   *             shared, cumulative, cum_perc)
+   * @param unclassified if > 0, the leading unclassified row (tsv/csv/text)
+   * @param total denominator for the unclassified percentage
+   * Node ids are first-class names in this engine, so the bioboxes
+   * TAXPATHSN (name path) equals TAXPATH.
+   */
+  def formatTre(rows: DataFrame, format: String = "tsv",
+      unclassified: Long = 0, total: Long = 0,
+      sampleId: String = "sample", ranks: Seq[String] = Nil): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val sep = if (format == "csv") "," else "\t"
+    val children = col("cumulative") - col("unique") - col("shared")
+    format match {
+      case "bioboxes" =>
+        val hdr = Seq(
+          (-4L, "@Version:0.10.0"),
+          (-3L, s"@SampleID:$sampleId"),
+          (-2L, "@Ranks:" + ranks.mkString("|")),
+          (-1L, "@@TAXID\tRANK\tTAXPATH\tTAXPATHSN\tPERCENTAGE"))
+          .toDF("pos", "line")
+        val body = rows
+          .filter(size(col("lineage")) > 1) // root omitted (report.py:361)
+          .select(col("pos").cast("long").as("pos"),
+            concat_ws("\t", col("node"), col("rank"),
+              array_join(slice(col("lineage"), 2, 100000), "|"),
+              array_join(slice(col("lineage"), 2, 100000), "|"),
+              format_string("%g", col("cum_perc"))).as("line"))
+        hdr.unionByName(body).orderBy("pos").select("line")
+      case "text" =>
+        // pad each column to its max width (report.py:404-425)
+        val cols = Seq(
+          col("rank"), col("node"), array_join(col("lineage"), "|"),
+          col("name"), col("unique").cast("string"),
+          col("shared").cast("string"), children.cast("string"),
+          col("cumulative").cast("string"),
+          format_string("%.5f", col("cum_perc")))
+        val named = cols.zipWithIndex.map { case (c, i) => c.as(s"c$i") }
+        val base = prependUnclassified(
+          rows.select((col("pos").cast("long").as("pos") +: named): _*),
+          unclassified, total)
+        val widths = base.agg(
+          max(length(col("c0"))), (1 until 9).map(i =>
+            max(length(col(s"c$i")))): _*).first()
+        val padded = (0 until 9).map(i =>
+          rpad(col(s"c$i"), widths.getInt(i), " "))
+        base.select(col("pos"), concat_ws("\t", padded: _*).as("line"))
+          .orderBy("pos").select("line")
+      case _ =>
+        val base = prependUnclassified(
+          rows.select(col("pos").cast("long").as("pos"),
+            col("rank").as("c0"), col("node").as("c1"),
+            array_join(col("lineage"), "|").as("c2"), col("name").as("c3"),
+            col("unique").cast("string").as("c4"),
+            col("shared").cast("string").as("c5"),
+            children.cast("string").as("c6"),
+            col("cumulative").cast("string").as("c7"),
+            format_string("%.5f", col("cum_perc")).as("c8")),
+          unclassified, total)
+        base.select(col("pos"),
+          concat_ws(sep, (0 until 9).map(i => col(s"c$i")): _*).as("line"))
+          .orderBy("pos").select("line")
+    }
+  }
+
+  /** The leading unclassified row (report.py:304-324). */
+  private def prependUnclassified(base: DataFrame, unclassified: Long,
+      total: Long): DataFrame = {
+    if (unclassified <= 0) return base
+    val spark = base.sparkSession
+    import spark.implicits._
+    val perc = "%.5f".format(unclassified.toDouble / math.max(1L, total) * 100)
+    Seq((-1L, "unclassified", "-", "-", "unclassified", "0", "0", "0",
+      unclassified.toString, perc))
+      .toDF("pos", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8")
+      .unionByName(base)
+  }
+
   /** min-count filter with ganon's dual semantics: v < 1 means fraction of
     * total, v >= 1 absolute count (report.py:766-780). */
   def minCountFilter(tre: DataFrame, v: Double, total: Long): DataFrame =

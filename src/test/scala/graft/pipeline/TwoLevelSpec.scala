@@ -73,6 +73,30 @@ class TwoLevelSpec extends AnyFunSuite {
     assert(got.sameElements(expect))
   }
 
+  test("lazy two-level: store roundtrip, classify == in-memory, shards on demand") {
+    val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lazy").toString
+    graft.io.SketchStore.saveTwoLevel(spark, two, dir)
+    val lazyDb = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    assert(lazyDb.loadedShards == 0)
+    // broadcast footprint = coarse only
+    assert(lazyDb.sizeBytes < two.sizeBytes)
+    val reads = corpus.limit(100).withColumn("id", $"path")
+    val a = Classify.allMatches(Classify.classify(spark, reads,
+      "id", "content", two, ClassifyParams(relCutoff = 0.25)))
+      .collect().map(_.toString).sorted
+    val b = Classify.allMatches(Classify.classify(spark, reads,
+      "id", "content", lazyDb, ClassifyParams(relCutoff = 0.25)))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // driver-side direct probe loads only the groups it needs
+    val row = corpus.select("content").head()
+    val hs = graft.core.Hashing.shingles(row.getString(0), p.k, p.w, p.seed)
+    val counts = new Array[Int](lazyDb.targets.length)
+    lazyDb.probe(hs, counts, math.max(1, hs.length))
+    assert(lazyDb.loadedShards >= 1)
+  }
+
   test("two-level probe prunes: zero FN survives group pruning") {
     val two = SketchBuild.buildTwoLevel(spark, corpus, "repo", "content", p)
     val row = corpus.select("content", "repo").head()

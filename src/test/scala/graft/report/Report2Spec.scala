@@ -82,6 +82,30 @@ class Report2Spec extends AnyFunSuite {
     assert(mx == Set(("s1", "b"), ("s1", "c"), ("s2", "a")))
   }
 
+  test("formatTre: tsv/csv/text/bioboxes variants (report.py:299-425)") {
+    val rows = Seq(
+      (1L, "root", "root", Seq("root"), "root", 0L, 0L, 10L, 100.0),
+      (2L, "a", "lang", Seq("root", "a"), "a", 3L, 2L, 6L, 60.0),
+      (3L, "a/x", "src", Seq("root", "a", "a/x"), "a/x", 4L, 0L, 4L, 40.0))
+      .toDF("pos", "node", "rank", "lineage", "name", "unique", "shared",
+        "cumulative", "cum_perc")
+    val tsv = Report.formatTre(rows, "tsv", unclassified = 5, total = 15)
+      .collect().map(_.getString(0))
+    assert(tsv.head == "unclassified\t-\t-\tunclassified\t0\t0\t0\t5\t33.33333")
+    assert(tsv(2) == "lang\ta\troot|a\ta\t3\t2\t1\t6\t60.00000")
+    val csv = Report.formatTre(rows, "csv").collect().map(_.getString(0))
+    assert(csv(1) == "lang,a,root|a,a,3,2,1,6,60.00000")
+    val text = Report.formatTre(rows, "text").collect().map(_.getString(0))
+    // padded: every line has the same field widths
+    assert(text.map(_.split("\t")(1).length).distinct.length == 1)
+    val bio = Report.formatTre(rows, "bioboxes", sampleId = "s1",
+      ranks = Seq("lang", "src")).collect().map(_.getString(0))
+    assert(bio(0) == "@Version:0.10.0" && bio(2) == "@Ranks:lang|src")
+    assert(bio(3).startsWith("@@TAXID"))
+    assert(bio(4).startsWith("a\tlang\ta\ta\t")) // root omitted from path
+    assert(!bio.exists(_.startsWith("root\t")))  // root row omitted
+  }
+
   test("sizeCorrection: conserves the per-rank total (report.py:649 assert)") {
     val tre = Seq(
       ("a", 1L, 60L), ("b", 1L, 40L),
