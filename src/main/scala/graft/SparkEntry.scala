@@ -690,6 +690,35 @@ object SparkEntry {
           col("bad").isNull.as("ok"))
     }),
 
+    "q40_twolevel" -> ((s, dir) => {
+      // the {ibf, hibf} parameterization as a driver check: flat IBF,
+      // in-memory two-level, and the LAZY store-backed two-level must
+      // classify identically (coarse pruning + shard fetch are lossless)
+      val docs = t(s, dir, "documents").cache()
+      val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
+      val cp = ClassifyParams(relCutoff = 0.25)
+      val flat = SketchBuild.build(s, docs, "source", "text", p)
+      val two = SketchBuild.buildTwoLevel(s, docs, "source", "text", p)
+      val dir2 = s"/tmp/graft_q40_${math.abs(dir.hashCode)}"
+      graft.io.SketchStore.saveTwoLevel(s, two, dir2)
+      val lzy = graft.io.SketchStore.loadTwoLevelLazy(s, dir2)
+      val Seq(a, b, c) = Seq[graft.build.ProbeDb](flat, two, lzy).map { db =>
+        Classify.allMatches(Classify.classify(s, docs, "doc_id", "text",
+          db, cp))
+      }
+      val mism = a.withColumn("x", lit(1))
+        .join(b.withColumn("y", lit(1)),
+          Seq("read_id", "target", "kmer_count"), "full_outer")
+        .join(c.withColumn("z", lit(1)),
+          Seq("read_id", "target", "kmer_count"), "full_outer")
+        .filter(col("x").isNull || col("y").isNull || col("z").isNull)
+        .groupBy("read_id").agg(count(lit(1)).as("bad"))
+      docs.select(col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("bad").isNull.as("ok"))
+    }),
+
     "q22_em_reassign" -> ((s, dir) => {
       // EM reassignment invariants, oracle-checkable per read: exactly one
       // final assignment, and it comes from the read's own match set
@@ -1020,6 +1049,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q39_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q40_twolevel" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
 
