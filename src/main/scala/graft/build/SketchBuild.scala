@@ -102,7 +102,7 @@ private[graft] trait SplitBinDb extends ProbeDb {
       val c = math.max(1L, targetHashes(t))
       val perBin = (c + s - 1) / s
       val single = Bloom.falsePositiveRate(plan.bitsPerBin, plan.numHashes, perBin)
-      if (s == 1) single else 1.0 - math.pow(1.0 - single, s.toDouble)
+      Bloom.splitCorrectedFpr(single, s)
     }
 
   def binFpr(t: Int): Double = fprByTarget(t)
