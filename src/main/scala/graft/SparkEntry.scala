@@ -203,14 +203,20 @@ object SparkEntry {
           .as("td")).head()
       val kll = both.getAs[scala.collection.Seq[Double]](0)
       val td = both.getAs[scala.collection.Seq[Double]](1)
-      val n = li.count().toDouble
+      // rank-check all estimates in ONE pass (not one count job per rank)
+      val rankCols = count(lit(1)).cast("double").as("n") +:
+        qs.indices.flatMap(i => Seq(
+          sum(when(col("l_extendedprice") <= kll(i), 1L).otherwise(0L))
+            .as(s"rk$i"),
+          sum(when(col("l_extendedprice") <= td(i), 1L).otherwise(0L))
+            .as(s"rt$i")))
+      val r = li.agg(rankCols.head, rankCols.tail: _*).head()
+      val n = r.getAs[Double]("n")
       val bound = math.max(1.65 * 2.3 / 256, 10.0 / n)
       val tdBound = math.max(graft.core.sketch.TDigest.rankErrorBound(100.0), 10.0 / n)
       val checks = qs.indices.map { i =>
-        val rank = (est: Double) =>
-          li.filter(col("l_extendedprice") <= est).count() / n
-        (qs(i), math.abs(rank(kll(i)) - qs(i)) <= bound,
-          math.abs(rank(td(i)) - qs(i)) <= tdBound)
+        (qs(i), math.abs(r.getAs[Long](s"rk$i") / n - qs(i)) <= bound,
+          math.abs(r.getAs[Long](s"rt$i") / n - qs(i)) <= tdBound)
       }
       s.createDataset(checks).toDF("q", "ok", "ok_td")
     }),
@@ -458,21 +464,20 @@ object SparkEntry {
     }),
 
     "q29_kll_grouped" -> ((s, dir) => {
-      import s.implicits._
       // grouped quantile sketch: median event value per event_type,
-      // rank-checked against the exact per-group rank
+      // rank-checked against the exact per-group rank — the medians join
+      // back (broadcast) so all groups verify in ONE pass
       val ev = t(s, dir, "events").select(col("event_type"), col("value")).cache()
       val med = ev.groupBy("event_type")
         .agg(GraftFunctions.kllQuantiles(col("value"), Array(0.5), 256).as("q"))
         .select(col("event_type"), col("q")(0).as("med"))
-        .collect().map(r => (r.getString(0), r.getDouble(1)))
-      val checks = med.map { case (et, m) =>
-        val grp = ev.filter(col("event_type") === et)
-        val n = grp.count().toDouble
-        val rank = grp.filter(col("value") <= m).count() / n
-        (et, math.abs(rank - 0.5) <= math.max(1.65 * 2.3 / 256, 10.0 / n))
-      }
-      s.createDataset(checks.toSeq).toDF("event_type", "ok")
+      ev.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(when(col("value") <= col("med"), 1L).otherwise(0L)).as("rk"))
+        .select(col("event_type"),
+          (abs(col("rk") / col("n") - 0.5) <=
+            greatest(lit(1.65 * 2.3 / 256), lit(10.0) / col("n"))).as("ok"))
     }),
 
     "q30_cms_events" -> ((s, dir) => {

@@ -20,14 +20,17 @@ final case class ClassifyParams(
 final case class MatchRow(target: String, count: Int)
 
 /** One read's classification result: the `.all` matches plus the resolved
-  * `.one` assignment (unique target or LCA node). */
+  * `.one` assignment (unique target or LCA node) and the per-read discard
+  * counters feeding the `.sta` report (GanonClassify.cpp:153-181 Rep). */
 final case class ReadResult(
     read_id: String,
     n_hashes: Int,
     matches: Array[MatchRow],
     assignment: String,  // null if unclassified
     unique: Boolean,
-    skipped: Boolean)
+    skipped: Boolean,
+    discarded_filter: Int = 0,  // matches dropped by rel-filter
+    discarded_fpr: Int = 0)     // matches dropped by fpr-query
 
 /**
  * The classify query: broadcast-probe of every read's shingle set against
@@ -101,29 +104,37 @@ object Classify {
     // rel-filter: keep count >= maxC - ceil((maxC - minC) * relFilter)
     val relThresh = maxC - math.ceil((maxC - minC) * cp.relFilter).toInt
     val out = new scala.collection.mutable.ArrayBuffer[MatchRow](nSurv)
+    var disFilter = 0
+    var disFpr = 0
     b = 0
     while (b < counts.length) {
       val c = counts(b)
-      if (c > 0 && c >= relThresh) {
-        // fpr-query: discard if P(Binom(n, p_bin) > c) > fprQuery — the
-        // reference computes q = 1 - sum_{i<=c} (GanonClassify.cpp:589-600),
-        // so a full-containment match (c == n) always survives (q = 0)
-        val q = MathFns.binomTailUpper(n.toLong, c + 1L, d.binFpr(b))
-        if (q <= cp.fprQuery) out += MatchRow(d.targets(b), c)
+      if (c > 0) {
+        if (c >= relThresh) {
+          // fpr-query: discard if P(Binom(n, p_bin) > c) > fprQuery — the
+          // reference computes q = 1 - sum_{i<=c} (GanonClassify.cpp:589-600),
+          // so a full-containment match (c == n) always survives (q = 0)
+          val q = MathFns.binomTailUpper(n.toLong, c + 1L, d.binFpr(b))
+          if (q <= cp.fprQuery) out += MatchRow(d.targets(b), c)
+          else disFpr += 1
+        } else disFilter += 1
       }
       b += 1
     }
     if (out.isEmpty)
-      return ReadResult(id, n, Array.empty, null, unique = false, skipped = false)
+      return ReadResult(id, n, Array.empty, null, unique = false,
+        skipped = false, disFilter, disFpr)
     val matches = out.toArray
     if (matches.length == 1)
-      ReadResult(id, n, matches, matches(0).target, unique = true, skipped = false)
+      ReadResult(id, n, matches, matches(0).target, unique = true,
+        skipped = false, disFilter, disFpr)
     else {
       val node = lca match {
         case Some(t) => t.lcaAll(matches.map(_.target).toSeq)
         case None    => matches.maxBy(m => (m.count, m.target)).target
       }
-      ReadResult(id, n, matches, node, unique = false, skipped = false)
+      ReadResult(id, n, matches, node, unique = false, skipped = false,
+        disFilter, disFpr)
     }
   }
 
@@ -175,6 +186,52 @@ object Classify {
       sum(size(col("matches"))).as("total_matches"),
       sum(col("n_hashes")).as("total_hashes"),
       round(avg(size(col("matches"))), 4).as("avg_matches_per_seq"))
+  }
+
+  /** Full 18-column `.sta` row (GanonClassify.cpp:1130-1218
+    * write_stats_db/write_stats): per (prefix, hierarchy_label) statistics
+    * with the reference's exact column names and percentage semantics.
+    * One aggregation pass. */
+  def staReport(results: Dataset[ReadResult], prefix: String = "sample",
+      hierarchyLabel: String = "1"): DataFrame = {
+    val agg = results.toDF().agg(
+      count(lit(1)).as("seq_processed"),
+      sum(when(col("assignment").isNotNull, 1L).otherwise(0L)).as("seq_classified"),
+      sum(when(col("unique"), 1L).otherwise(0L)).as("seq_unique_matches"),
+      sum(size(col("matches"))).as("matches"),
+      sum(col("discarded_filter").cast("long")).as("dis_matches_rel_filter"),
+      sum(col("discarded_fpr").cast("long")).as("dis_matches_fpr_query"),
+      sum(col("n_hashes").cast("long")).as("kmers_proccessed"),
+      sum(when(col("assignment").isNotNull, col("n_hashes").cast("long"))
+        .otherwise(0L)).as("kmers_from_classified_seqs"),
+      sum(aggregate(col("matches"), lit(0L),
+        (acc, m) => acc + m.getField("count"))).as("kmers_matched"))
+    // seq_processed floored at 1 "to not report nan on divisions" (:1199)
+    val sp = greatest(col("seq_processed").cast("double"), lit(1.0))
+    agg.select(
+      lit(prefix).as("prefix"),
+      lit(hierarchyLabel).as("hierarchy_label"),
+      col("seq_processed"),
+      (col("seq_processed") - col("seq_classified")).as("seq_unclassified"),
+      col("seq_classified"),
+      round(col("seq_classified") / sp * 100, 6).as("seq_classified_perc"),
+      col("seq_unique_matches"),
+      round(col("seq_unique_matches") / sp * 100, 6).as("seq_unique_matches_perc"),
+      (col("seq_classified") - col("seq_unique_matches")).as("seq_multiple_matches"),
+      round((col("seq_classified") - col("seq_unique_matches")) / sp * 100, 6)
+        .as("seq_multiple_matches_perc"),
+      col("matches"),
+      round(when(col("seq_classified") > 0,
+        col("matches") / col("seq_classified").cast("double")).otherwise(0.0), 6)
+        .as("avg_matches_ref_seq"),
+      col("dis_matches_rel_filter"),
+      col("dis_matches_fpr_query"),
+      col("kmers_proccessed"),
+      col("kmers_matched"),
+      col("kmers_from_classified_seqs"),
+      round(when(col("kmers_matched") > 0,
+        col("kmers_matched") / col("kmers_from_classified_seqs").cast("double")
+          * 100).otherwise(0.0), 6).as("kmers_matched_perc"))
   }
 
   /**

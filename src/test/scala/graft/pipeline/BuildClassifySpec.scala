@@ -89,6 +89,33 @@ class BuildClassifySpec extends AnyFunSuite {
     assert(allRows == repSum)
   }
 
+  test(".sta report: 18 reference columns, internally consistent counters") {
+    val ds = corpus.limit(200).withColumn("id", $"path")
+    // strict rel-filter (keep only the max-count match) forces discards on
+    // multi-matching reads — the counter the reference tracks per thread
+    val res = Classify.classify(spark, ds, "id", "content", db,
+      ClassifyParams(relCutoff = 0.1, relFilter = 0.0)).cache()
+    val sta = Classify.staReport(res, "sampleX", "lvl1").head()
+    assert(sta.getAs[String]("prefix") == "sampleX")
+    assert(sta.getAs[Long]("seq_processed") == 200)
+    assert(sta.getAs[Long]("seq_classified") +
+      sta.getAs[Long]("seq_unclassified") == 200)
+    assert(sta.getAs[Long]("seq_unique_matches") +
+      sta.getAs[Long]("seq_multiple_matches") ==
+      sta.getAs[Long]("seq_classified"))
+    assert(sta.getAs[Double]("seq_classified_perc") <= 100.0)
+    assert(sta.getAs[Long]("kmers_matched") <=
+      sta.getAs[Long]("kmers_from_classified_seqs") * 64) // <= bins x n
+    assert(sta.getAs[Double]("kmers_matched_perc") >= 0.0)
+    assert(sta.schema.fieldNames.length == 18)
+    // loose run discards nothing; strict rel-filter discards something
+    val loose = Classify.staReport(Classify.classify(spark, ds, "id",
+      "content", db, ClassifyParams(relCutoff = 0.1))).head()
+    assert(loose.getAs[Long]("dis_matches_rel_filter") == 0)
+    assert(sta.getAs[Long]("dis_matches_rel_filter") >=
+      loose.getAs[Long]("dis_matches_rel_filter"))
+  }
+
   test("salted build equals content: FP bound holds on absent probes") {
     val probes = Array.tabulate(100000)(i => Hashing.hashLong(i + (1L << 45)))
     val counts = db.ibf.bulkCount(probes)
