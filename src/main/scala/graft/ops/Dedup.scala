@@ -12,10 +12,12 @@ import graft.spark.GraftFunctions
  * Scale design: exact dedup is a hash-groupBy on a 256-bit content digest
  * (shuffle on the digest, never on the content). MinHash near-dup is the
  * shingle->signature->band->bucket-join pipeline: candidate generation
- * shuffles only (band_key, doc_id, signature), pairs are verified with
- * exact Jaccard inside the bucket join — no all-pairs product ever forms.
- * Mega-buckets (skew) are capped; at 100 TB, band keys are additionally
- * salted by signature prefix before the self-join.
+ * shuffles only (band_key, doc_id), pairs are verified with exact Jaccard
+ * inside the bucket join — no all-pairs product ever forms. Mega-buckets
+ * (skew) are capped with the truncation count observable via accumulator;
+ * overflow members of saturated buckets are near-identical and covered by
+ * exact dedup (signature-prefix salting would bound buckets too, but it
+ * zeroes recall for pairs whose signatures differ).
  */
 object Dedup {
 

@@ -116,7 +116,7 @@ class BuildClassifySpec extends AnyFunSuite {
       loose.getAs[Long]("dis_matches_rel_filter"))
   }
 
-  test("salted build equals content: FP bound holds on absent probes") {
+  test("split-bin build: FP bound holds on absent probes") {
     val probes = Array.tabulate(100000)(i => Hashing.hashLong(i + (1L << 45)))
     val counts = db.ibf.bulkCount(probes)
     db.targets.indices.foreach { b =>
