@@ -50,6 +50,7 @@ final class InterleavedBloom(
    * popcount-accumulate set bins. `counts` must have length >= numBins.
    */
   def bulkCount(hashes: Array[Long], counts: Array[Int]): Unit = {
+    if (wordsPerRow == 1) { bulkCount1(hashes, counts); return }
     val tmp = new Array[Long](wordsPerRow)
     var hi = 0
     while (hi < hashes.length) {
@@ -76,6 +77,30 @@ final class InterleavedBloom(
           bits &= bits - 1
         }
         w += 1
+      }
+      hi += 1
+    }
+  }
+
+  /** <=64-bin fast path: the row is ONE word — accumulate in a register
+    * and stop probing a hash as soon as its AND hits zero (most hashes
+    * miss most bins, so the early exit usually fires on probe 2-3). */
+  private def bulkCount1(hashes: Array[Long], counts: Array[Int]): Unit = {
+    var hi = 0
+    while (hi < hashes.length) {
+      val hash = hashes(hi)
+      val h1 = Hashing.mix64(hash)
+      val h2 = Hashing.mix64(hash ^ 0x9E3779B97F4A7C15L) | 1L
+      var acc = words(rowOf(h1, h2, 0))
+      var i = 1
+      while (i < numHashes && acc != 0L) {
+        acc &= words(rowOf(h1, h2, i))
+        i += 1
+      }
+      while (acc != 0L) {
+        val bin = java.lang.Long.numberOfTrailingZeros(acc)
+        if (bin < numBins) counts(bin) += 1
+        acc &= acc - 1
       }
       hi += 1
     }

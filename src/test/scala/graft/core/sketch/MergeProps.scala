@@ -96,4 +96,24 @@ object MergeProps extends Properties("sketch-merge") {
       }
       Prop(nOk && rankOk) :| s"n=${merged.n}/${xs.length}"
     }
+
+  property("ibf shard: split-invariant OR-merge == bulk insert, routed bins") =
+    forAll(genSplit, Gen.chooseNum(1, 5)) { case ((xs, chunks), split) =>
+      import graft.build.BinLayout
+      import graft.spark.udaf.SketchAggs.{IbfShardAgg, ShardSlice}
+      val agg = new IbfShardAgg(4096, 3)
+      // bulk: everything through one buffer
+      val bulk = agg.reduce(agg.zero, ShardSlice(0, 2, split, xs))
+      // split: one buffer per chunk, merged in arbitrary (reversed) order
+      val parts = chunks.map(c => agg.reduce(agg.zero, ShardSlice(0, 2, split, c)))
+      val merged = parts.reverse.foldLeft(agg.zero)(agg.merge)
+      val same = java.util.Arrays.equals(bulk.shard.words, merged.shard.words)
+      // every hash routed in [2, 2+split) and present in its bin
+      val routedOk = xs.forall { h =>
+        val bin = 2 + BinLayout.routeBin(h, split)
+        merged.grp == -1 && xs.isEmpty ||
+          merged.shard.bulkCount(Array(h)).apply(bin) >= 1
+      }
+      Prop(same && (xs.isEmpty || routedOk)) :| s"n=${xs.length} split=$split"
+    }
 }
