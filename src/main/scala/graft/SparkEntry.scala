@@ -280,11 +280,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sets = docs.select(col("doc_id").cast("long").as("id"),
         GraftFunctions.tokenHashes(col("text")).as("hs"))
-      // J == 1.0 pairs have identical signatures -> found with prob 1;
-      // 16-row bands keep saturated-vocab buckets small (r=16: a random
-      // pair at J=0.7 collides with prob 0.7^16 ~= 0.003)
+      // J == 1.0 pairs have identical signatures -> found with prob 1
+      // (OPH is a pure function of the set, so identical sets collide in
+      // every band); false candidates are removed by the exact-Jaccard
+      // verify, so OPH's one-pass signature is safe here and ~128x cheaper
+      // than k independent permutations
       Dedup.minhashPairs(s, sets, numPerms = 128, bands = 8, threshold = 1.0,
-        oph = false)
+        oph = true)
         .select(col("doc_a"), col("doc_b"))
     }),
 
@@ -739,6 +741,84 @@ object SparkEntry {
         Seq("read_id", "target"), "left_semi")
       valid.groupBy("read_id").agg((count(lit(1)) === 1).as("ok"))
         .select(col("read_id").cast("long").as("read_id"), col("ok"))
+    }),
+
+    "q41_langid" -> ((s, dir) => {
+      // n-gram language-ID as a driver check: plant a deterministic
+      // per-lang trigram marker (the corpus text contains no "qz" anywhere)
+      // into every doc; profiles trained on even doc_ids then classify the
+      // odd half perfectly, so accuracy == 1.0 is the oracle invariant
+      val docs = t(s, dir, "documents")
+      val marked = docs.withColumn("mtext",
+        concat(repeat(concat(lit(" qz"), col("lang"), lit("qz ")), 64),
+          coalesce(col("text"), lit(""))))
+      val train = marked.filter(col("doc_id") % 2 === 0)
+      val score = marked.filter(col("doc_id") % 2 === 1)
+      TextStats.langId(s, train, score, "doc_id", "mtext", "lang",
+        profileSize = 8)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("predicted_lang") === col("lang"), 1L)
+            .otherwise(0L)).as("n_correct"))
+    }),
+
+    "q42_sizes_fallback" -> ((s, dir) => {
+      // genome-size averaging with parent fallback (tax_util.py:161-224):
+      // only leaves whose source ends in 0/5 carry sizes; every other node
+      // takes the deepest sized ancestor's average (lang, then root)
+      val docs = t(s, dir, "documents")
+      val lineage = docs.select("lang", "source").distinct()
+        .select(concat(col("lang"), lit("/"), col("source")).as("node"),
+          array(lit("root"), col("lang"),
+            concat(col("lang"), lit("/"), col("source"))).as("lineage"))
+        .union(docs.select(col("lang").as("node"),
+          array(lit("root"), col("lang")).as("lineage")).distinct())
+        .union(s.range(1).select(lit("root").as("node"),
+          array(lit("root")).as("lineage")))
+      val leafSizes = docs
+        .filter(col("source").endsWith("0") || col("source").endsWith("5"))
+        .groupBy(concat(col("lang"), lit("/"), col("source")).as("node"))
+        .agg(sum(col("n_chars")).cast("double").as("size"))
+      Report.genomeSizesWithFallback(lineage, leafSizes)
+        .select(col("node"), floor(col("size") + 0.5).cast("long").as("size"))
+    }),
+
+    "q43_em_rep" -> ((s, dir) => {
+      // EM .rep rewrite invariants (reassign.py:180-224), per target:
+      // unique_reads + lca_reads == that target's rows in .one,
+      // lca_reads >= 0, and raw match rows bound the assigned total
+      val docs = t(s, dir, "documents")
+      val db = SketchBuild.build(s, docs, "lang", "text",
+        IbfParams(k = 8, w = 8, maxFp = 0.001))
+      val res = Classify.classify(s, docs, "doc_id", "text", db,
+        ClassifyParams(relCutoff = 0.25))
+      val all = Classify.allMatches(res).cache()
+      val (one, rep) = graft.classify.Em.reassignWithRep(s, all)
+      val assigned = one.groupBy("target").agg(count(lit(1)).as("a"))
+      rep.join(assigned, Seq("target"), "left").na.fill(0L, Seq("a"))
+        .select(col("target"),
+          (col("unique_reads") + col("lca_reads") === col("a"))
+            .as("consistent"),
+          (col("lca_reads") >= 0 &&
+            col("matches") >= col("unique_reads") + col("lca_reads"))
+            .as("bounded"))
+    }),
+
+    "q44_tre_formats" -> ((s, dir) => {
+      // .tre csv output format incl. the leading unclassified row
+      // (report.py:299-425): the oracle reconstructs every emitted line
+      val docs = t(s, dir, "documents")
+      val total = docs.count()
+      val rows = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .select(
+          row_number().over(Window.orderBy(col("lang"))).cast("long").as("pos"),
+          lit("lang").as("rank"), col("lang").as("node"),
+          array(lit("root"), col("lang")).as("lineage"),
+          col("lang").as("name"),
+          col("cnt").as("unique"), lit(0L).as("shared"),
+          col("cnt").as("cumulative"),
+          (col("cnt") * 100.0 / (total + 13.0)).as("cum_perc"))
+      Report.formatTre(rows, "csv", unclassified = 13, total = total + 13)
     })
   )
 
@@ -1073,6 +1153,46 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS read_id, true AS ok
         |FROM documents
         |WHERE doc_id % 2 = 1 AND strlen(text) BETWEEN 8 AND 65542"""
-        .stripMargin
+        .stripMargin,
+
+    "q41_langid" ->
+      """SELECT lang, COUNT(*) AS n_scored, COUNT(*) AS n_correct
+        |FROM documents WHERE doc_id % 2 = 1 GROUP BY lang""".stripMargin,
+
+    "q42_sizes_fallback" ->
+      """WITH leafsz AS (
+        |  SELECT lang || '/' || source AS node, lang,
+        |         CAST(SUM(n_chars) AS DOUBLE) AS size
+        |  FROM documents WHERE source LIKE '%0' OR source LIKE '%5'
+        |  GROUP BY 1, 2),
+        |langavg AS (SELECT lang, AVG(size) AS a FROM leafsz GROUP BY 1),
+        |rootavg AS (SELECT AVG(size) AS a FROM leafsz),
+        |nodes AS (
+        |  SELECT DISTINCT lang || '/' || source AS node, lang FROM documents
+        |  UNION ALL SELECT DISTINCT lang, lang FROM documents
+        |  UNION ALL SELECT 'root', NULL)
+        |SELECT n.node,
+        |  CAST(FLOOR(COALESCE(l.size, la.a, ra.a) + 0.5) AS BIGINT) AS size
+        |FROM nodes n
+        |LEFT JOIN leafsz l ON n.node = l.node
+        |LEFT JOIN langavg la ON n.lang = la.lang
+        |CROSS JOIN rootavg ra""".stripMargin,
+
+    "q43_em_rep" ->
+      """SELECT lang AS target, true AS consistent, true AS bounded
+        |FROM documents WHERE strlen(text) BETWEEN 8 AND 65542
+        |GROUP BY lang""".stripMargin,
+
+    "q44_tre_formats" ->
+      """WITH g AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(c) + 13 AS t FROM g)
+        |SELECT concat_ws(',', 'lang', lang, 'root|' || lang, lang,
+        |  CAST(c AS VARCHAR), '0', '0', CAST(c AS VARCHAR),
+        |  printf('%.5f', c * 100.0 / t)) AS line
+        |FROM g, tot
+        |UNION ALL
+        |SELECT concat_ws(',', 'unclassified', '-', '-', 'unclassified',
+        |  '0', '0', '0', '13', printf('%.5f', 13.0 / t * 100))
+        |FROM tot""".stripMargin
   )
 }

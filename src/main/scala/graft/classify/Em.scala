@@ -1,7 +1,6 @@
 package graft.classify
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -12,34 +11,39 @@ import org.apache.spark.sql.functions._
  * until the L1 prob change < threshold or maxIter (default 10,
  * src/ganon/config.py:770-776).
  *
- * Driver-looped over a cached matches DataFrame: each iteration is one
- * broadcast join (probs are |targets| rows) + one per-read window argmax +
- * one groupBy count. Tie-break: the reference keeps the FIRST listed match
- * (reassign.py:227-241); Spark rows have no implicit order, so the stable
- * order column is (count desc, target asc).
+ * Scale shape: the multi-match relation is grouped ONCE into one row per
+ * read carrying its candidate array (bounded by matches-per-read). Each EM
+ * iteration is then a map-only argmax over those rows (probs broadcast as
+ * a plain map — no join, no window sort) followed by a partially-aggregated
+ * per-target count whose shuffle is |targets| rows per partition. Nothing
+ * rescans or reshuffles the full match relation inside the loop.
+ * Tie-break: the reference keeps the FIRST listed match (reassign.py:
+ * 227-241); Spark rows have no implicit order, so the stable order is
+ * (score desc, target asc).
  */
 object Em {
 
   /**
-   * @param all      the `.all` relation (read_id, target, kmer_count)
-   * @param unique   read_ids with exactly one match get weight-1 priors
-   * @return (read_id, target, kmer_count) final assignment per read
+   * @param all the `.all` relation (read_id, target, kmer_count); read_ids
+   *            with exactly one match get weight-1 priors
+   * @return (read_id, target, kmer_count: Long) final assignment per read
    */
   def reassign(spark: SparkSession, all: DataFrame, maxIter: Int = 10,
       threshold: Double = 0.001): DataFrame = {
-    val matches = all.persist()
+    val matches = all.withColumn("kmer_count", col("kmer_count").cast("long"))
+      .persist()
     val nMatches = matches.groupBy("read_id")
       .agg(count(lit(1)).as("n_m"))
     val withN = matches.join(broadcast(nMatches.filter(col("n_m") === 1)),
       Seq("read_id"), "left")
     val uniques = withN.filter(col("n_m").isNotNull)
       .select("read_id", "target", "kmer_count")
-    // bucket the multi-match relation by read_id ONCE: every iteration's
-    // per-read argmax window then reuses this partitioning (sort only,
-    // no exchange), instead of re-shuffling the full relation x maxIter
-    val multis = withN.filter(col("n_m").isNull)
-      .select("read_id", "target", "kmer_count")
-      .repartition(col("read_id")).persist()
+    // group each multi-match read's candidates ONCE; the loop never touches
+    // the ungrouped relation again
+    val multiReads = withN.filter(col("n_m").isNull)
+      .groupBy("read_id")
+      .agg(collect_list(struct(col("target"), col("kmer_count"))).as("ms"))
+      .persist()
 
     // init probs from unique counts (+1 smoothing so zero-unique targets
     // can still attract reads, as reassign.py's eps does)
@@ -55,21 +59,33 @@ object Em {
     var probs = normalized(allTargets
       .map(t => t -> (uniqueCounts.getOrElse(t, 0L) + 1.0)).toSeq)
 
+    // argmax over the read's candidate array given the broadcast prob map;
+    // ties by target asc (see scaladoc)
+    def pickUdf(pv: Map[String, Double]) = {
+      val pB = spark.sparkContext.broadcast(pv)
+      udf((ms: Seq[Row]) => {
+        val p = pB.value
+        var bt: String = null; var bc = 0L; var bs = -1.0
+        ms.foreach { r =>
+          val t = r.getString(0); val c = r.getLong(1)
+          val s = c * p.getOrElse(t, 0.0)
+          if (s > bs || (s == bs && (bt == null || t < bt))) {
+            bs = s; bt = t; bc = c
+          }
+        }
+        (bt, bc)
+      })
+    }
+    def assign(pv: Map[String, Double]): DataFrame = multiReads
+      .select(col("read_id"), pickUdf(pv)(col("ms")).as("pick"))
+      .select(col("read_id"), col("pick._1").as("target"),
+        col("pick._2").as("kmer_count"))
+
     var assigned: DataFrame = null
     var iter = 0
     var diff = Double.MaxValue
     while (iter < maxIter && diff > threshold) {
-      val pDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(probs.toSeq.sortBy(_._1), 1))
-        .toDF("target", "p")
-      val w = Window.partitionBy("read_id")
-        .orderBy(col("score").desc, col("target").asc)
-      assigned = multis
-        .join(broadcast(pDf), Seq("target"))
-        .withColumn("score", col("kmer_count") * col("p"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("read_id", "target", "kmer_count")
+      assigned = assign(probs)
       val counts = assigned.groupBy("target").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       val newProbs = normalized(allTargets.map(t =>
@@ -80,8 +96,10 @@ object Em {
       iter += 1
     }
     val result = uniques.unionByName(
-      if (assigned == null) multis.limit(0) else assigned)
-    multis.unpersist(); matches.unpersist()
+      if (assigned == null)
+        uniques.limit(0)
+      else assigned)
+    multiReads.unpersist(); matches.unpersist()
     result
   }
 
