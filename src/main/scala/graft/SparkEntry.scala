@@ -280,13 +280,18 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sets = docs.select(col("doc_id").cast("long").as("id"),
         GraftFunctions.tokenHashes(col("text")).as("hs"))
-      // J == 1.0 pairs have identical signatures -> found with prob 1
-      // (OPH is a pure function of the set, so identical sets collide in
-      // every band); false candidates are removed by the exact-Jaccard
-      // verify, so OPH's one-pass signature is safe here and ~128x cheaper
-      // than k independent permutations
+      // J == 1.0 pairs have identical signatures -> found with prob 1;
+      // 16-row bands keep saturated-vocab buckets small (r=16: a random
+      // pair at J=0.7 collides with prob 0.7^16 ~= 0.003).
+      // oph=false is a MEASURED choice for this corpus: with ~50 distinct
+      // tokens against k=128 bins, OPH signatures are densification-
+      // dominated (most bins empty), which correlates band keys — on sf0.1
+      // it yields 21M candidate pairs / max bucket 2693 vs 4.2M / 1095 for
+      // k-perm (tools/Q17Diag), tripling the query. OPH stays the library
+      // default for shingle sets with |set| >> numPerms, where its one-pass
+      // signature wins and bins are dense.
       Dedup.minhashPairs(s, sets, numPerms = 128, bands = 8, threshold = 1.0,
-        oph = true)
+        oph = false)
         .select(col("doc_a"), col("doc_b"))
     }),
 
@@ -819,6 +824,26 @@ object SparkEntry {
           col("cnt").as("cumulative"),
           (col("cnt") * 100.0 / (total + 13.0)).as("cum_perc"))
       Report.formatTre(rows, "csv", unclassified = 13, total = total + 13)
+    }),
+
+    "q45_simhash_pairs" -> ((s, dir) => {
+      // simhash banded PAIR generation recall guarantee: an exact-duplicate
+      // pair has identical token multisets => identical simhash => hamming 0
+      // => shares all four 16-bit blocks, so it MUST be emitted; the output
+      // is restricted to exactly those pairs so the oracle can enumerate
+      // them with a self-join on text
+      val docs = t(s, dir, "documents")
+      val sets = docs.select(col("doc_id").cast("long").as("id"),
+        GraftFunctions.tokenHashes(col("text")).as("hs"))
+      val pairs = Dedup.simhashPairs(s, sets, maxHamming = 3)
+      val byText = docs.select(col("doc_id").cast("long").as("id"),
+        sha2(col("text"), 256).as("h"))
+      val exactPairs = byText.as("a").join(byText.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      exactPairs.join(pairs, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").isNotNull.as("found"))
     })
   )
 
@@ -1193,6 +1218,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT concat_ws(',', 'unclassified', '-', '-', 'unclassified',
         |  '0', '0', '0', '13', printf('%.5f', 13.0 / t * 100))
-        |FROM tot""".stripMargin
+        |FROM tot""".stripMargin,
+
+    "q45_simhash_pairs" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS found
+        |FROM documents a
+        |JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id"""
+        .stripMargin
   )
 }
