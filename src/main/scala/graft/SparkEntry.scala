@@ -826,6 +826,48 @@ object SparkEntry {
       Report.formatTre(rows, "csv", unclassified = 13, total = total + 13)
     }),
 
+    "q46_stream_state" -> ((s, dir) => {
+      // custom streaming state (mapGroupsWithState): per-event-type RUNNING
+      // distinct-8-gram HLL over the props stream. Invariants: the final
+      // state's n_reads equals the batch per-type row count, and its
+      // estimate lands within the published HLL bound of the exact batch
+      // answer (merge associativity makes state order-insensitive)
+      val srcDir = java.nio.file.Paths.get(
+        s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val out = graft.streaming.StreamClassify.runningDistinct(
+        s, stream, "event_type", "props", k = 8, w = 8)
+        .toDF("target", "est", "n_reads")
+      val qname = "graft_stream_state_" + math.abs(dir.hashCode)
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      val fin = s.table(qname).groupBy("target")
+        .agg(max(struct(col("n_reads"), col("est"))).as("f"))
+        .select(col("target"), col("f.est").as("est"),
+          col("f.n_reads").as("n_reads"))
+      val sh = graft.spark.ShinglesExpr.col(
+        coalesce(col("props"), lit("")), 8, 8, Hashing.DefaultSeed)
+      val ev = t(s, dir, "events")
+      val exact = ev.select(col("event_type").as("target"), sh.as("hs"))
+        .select(col("target"), explode_outer(col("hs")).as("h"))
+        .groupBy("target").agg(countDistinct(col("h")).as("n_hash"))
+      val nRows = ev.groupBy(col("event_type").as("target"))
+        .agg(count(lit(1)).as("n_rows"))
+      val bound = 3 * 1.04 / math.sqrt((1 << 14).toDouble)
+      fin.join(exact, Seq("target")).join(nRows, Seq("target"))
+        .select(col("target"), col("n_rows"),
+          (col("n_reads") === col("n_rows") &&
+            abs(col("est") - col("n_hash")) <=
+              greatest(col("n_hash") * bound, lit(1.0))).as("ok"))
+    }),
+
     "q45_simhash_pairs" -> ((s, dir) => {
       // simhash banded PAIR generation recall guarantee: an exact-duplicate
       // pair has identical token multisets => identical simhash => hamming 0
@@ -1224,6 +1266,10 @@ object SparkEntry {
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS found
         |FROM documents a
         |JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id"""
-        .stripMargin
+        .stripMargin,
+
+    "q46_stream_state" ->
+      """SELECT event_type AS target, COUNT(*) AS n_rows, true AS ok
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

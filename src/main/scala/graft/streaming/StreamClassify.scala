@@ -1,12 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.build.ProbeDb
 import graft.classify.{Classify, ClassifyParams}
+import graft.core.Hashing
+import graft.core.sketch.Hll
 
 /**
  * Structured-Streaming classify mode: the reference's pipelined
@@ -48,5 +50,39 @@ object StreamClassify {
       .agg(count(lit(1)).as("n_matches"))
       .select(col("window.start").as("window_start"), col("target"),
         col("n_matches"))
+  }
+
+  /**
+   * Per-target RUNNING distinct-shingle estimate via custom streaming
+   * state (`KeyValueGroupedDataset.mapGroupsWithState`): the group state
+   * is a serialized mergeable HLL; each micro-batch folds its rows'
+   * shingle hashes in and emits the updated (target, estimate, n_reads).
+   * Because the sketch is merge-associative, the running estimate is
+   * independent of micro-batch boundaries — the streaming answer over any
+   * prefix equals the batch answer over the same rows, and checkpoint
+   * resume reconstructs it exactly. State size is 2^p bytes per target,
+   * independent of stream length (the reason a sketch, not a set, is the
+   * right streaming state at 10^12 files). Use with outputMode("update").
+   */
+  def runningDistinct(spark: SparkSession, stream: DataFrame,
+      targetCol: String, contentCol: String, k: Int, w: Int, p: Int = 14,
+      seed: Long = Hashing.DefaultSeed): Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    val sh = graft.spark.ShinglesExpr.col(
+      coalesce(col(contentCol), lit("")), k, w, seed)
+    stream
+      .select(col(targetCol).cast("string").as("target"), sh.as("hs"))
+      .as[(String, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Array[Byte], Long), (String, Long, Long)](
+        GroupStateTimeout.NoTimeout) { (target, rows, state) =>
+        val (bytes, n0) = state.getOption
+          .getOrElse((Hll.empty(p).toBytes, 0L))
+        val hll = Hll.fromBytes(bytes)
+        var n = n0
+        rows.foreach { case (_, hs) => hll.addAll(hs); n += 1 }
+        state.update((hll.toBytes, n))
+        (target, hll.estimate, n)
+      }
   }
 }

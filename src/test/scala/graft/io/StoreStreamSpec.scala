@@ -72,6 +72,33 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming state: running HLL distinct survives micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val out = StreamClassify.runningDistinct(spark,
+        ms.toDF().toDF("t", "content"), "t", "content", k = 8, w = 8)
+      .toDF("target", "est", "n_reads")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("graft_rd_test").start()
+    val b1 = Seq(("a", "abcdefghij"), ("a", "abcdefgh"), ("b", "0123456789"))
+    val b2 = Seq(("a", "abcdefghij-XYZWVUT"), ("b", "0123456789"))
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // final state per target = union across BOTH batches (state persisted)
+    val fin = spark.table("graft_rd_test")
+      .groupBy("target").agg(max(struct($"n_reads", $"est")).as("f"))
+      .select($"target", $"f.est", $"f.n_reads")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = (b1 ++ b2).groupBy(_._1).map { case (t, rows) =>
+      t -> rows.flatMap(r => graft.core.Hashing.shingles(r._2, 8, 8)).distinct.size
+    }
+    // tiny cardinalities: HLL at p=14 is exact here
+    assert(fin("a")._1 == exact("a") && fin("b")._1 == exact("b"))
+    assert(fin("a")._2 == 3 && fin("b")._2 == 2)
+  }
+
   test("observed metrics ride the action with no extra pass") {
     val res = graft.classify.Classify.classify(spark,
       corpus.limit(80).withColumn("id", $"path"), "id", "content", db)
