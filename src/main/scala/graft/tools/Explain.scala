@@ -49,6 +49,17 @@ object Explain {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment").count())
 
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    show("cosine block-pair join (no corpus collect/broadcast check)",
+      graft.ops.Ann.cosineNearDupPairs(spark, emb, "vec_id", "embedding",
+        threshold = 0.95))
+
+    show("LSH dedup candidates (band-only shuffle check)",
+      graft.ops.Dedup.minhashPairs(spark,
+        docs.select(col("doc_id").cast("long").as("id"),
+          GraftFunctions.tokenHashes(col("text")).as("hs")),
+        numPerms = 128, bands = 8, threshold = 1.0, oph = false))
+
     spark.stop()
   }
 }
