@@ -203,6 +203,23 @@ final class TwoLevelSketchDb(
   def sizeBytes: Long = coarse.sizeBytes + shards.map(_.sizeBytes).sum
 }
 
+/** Minimal serializable Hadoop-configuration carrier for executor-side
+  * filesystem access (Hadoop's `Configuration` is Writable, not
+  * Serializable). */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /**
  * Two-level layout with LAZY shards: only the coarse filter and the bin
  * metadata ship with the broadcast; each executor fetches a group's fine
@@ -213,7 +230,10 @@ final class TwoLevelSketchDb(
  * the reference keeps the whole HIBF resident, GanonClassify.cpp:949-986).
  *
  * `readShard` resolves through the Hadoop FileSystem API, so the store can
- * live on file://, hdfs:// or any mounted FS.
+ * live on file://, hdfs:// or any mounted FS. The SESSION's Hadoop
+ * configuration rides along serialized — a fresh `Configuration()` on the
+ * executor would drop every `spark.hadoop.*` setting (object-store
+ * credentials, HA nameservice mappings) and break the first shard fetch.
  */
 final class LazyTwoLevelDb(
     val coarse: InterleavedBloom,
@@ -222,7 +242,8 @@ final class LazyTwoLevelDb(
     val layout: BinLayout,
     val params: IbfParams,
     val plan: IbfPlan,
-    shardDir: String) extends SplitBinDb {
+    shardDir: String,
+    hadoopConf: SerializableHadoopConf) extends SplitBinDb {
 
   private val groupCutoffSafe = !layout.anyGroupSpanning
 
@@ -242,7 +263,7 @@ final class LazyTwoLevelDb(
 
   private def readShard(g: Int): InterleavedBloom = {
     val path = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(hadoopConf.value)
     val in = fs.open(path)
     try {
       val len = fs.getFileStatus(path).getLen.toInt
@@ -387,7 +408,22 @@ object SketchBuild {
         full.numHashes, full.words)
       coarseBins(g) = (g, Bloom.fromBytes(coarseBlob))
     }
-    val coarse = InterleavedBloom.fromBins(coarseBins.toSeq, nGroups)
+    // groups whose targets routed ZERO hashes (all content empty/filtered)
+    // produce no shard row: materialize empty shards so probe/sizeBytes
+    // see zero-count bins, matching the flat build's tolerance
+    var g = 0
+    while (g < nGroups) {
+      if (shards(g) == null) {
+        val nLocal = math.min(64, layout.numBins - g * 64)
+        shards(g) = InterleavedBloom.empty(nLocal, thePlan.bitsPerBin,
+          thePlan.numHashes)
+      }
+      g += 1
+    }
+    val presentCoarse = coarseBins.toSeq.filter(_ != null)
+    val coarse =
+      if (presentCoarse.nonEmpty) InterleavedBloom.fromBins(presentCoarse, nGroups)
+      else InterleavedBloom.empty(nGroups, 64L, 1)
     new TwoLevelSketchDb(coarse, shards, cards.map(_._1).toArray,
       cards.map(_._2).toArray, layout, p, thePlan)
   }
@@ -514,6 +550,9 @@ object SketchBuild {
     import spark.implicits._
     val p = db.params
     val removeSet = removeTargets.toSet
+    val unknown = removeSet.filterNot(db.targetIndex.contains)
+    require(unknown.isEmpty,
+      s"removeTargets not in the db: ${unknown.toSeq.sorted.mkString(", ")}")
 
     // pass 1 on the delta only
     val addCards =

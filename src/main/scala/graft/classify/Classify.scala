@@ -176,16 +176,17 @@ object Classify {
   /** `.sta` analog (GanonClassify.cpp:1130-1218): one-row run statistics.
     * Single aggregation over the per-read results — no extra pass. */
   def stats(results: Dataset[ReadResult]): DataFrame = {
+    def zsum(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
     results.toDF().agg(
       count(lit(1)).as("seqs_processed"),
-      sum(when(col("assignment").isNotNull, 1L).otherwise(0L)).as("seqs_classified"),
-      sum(when(col("unique"), 1L).otherwise(0L)).as("seqs_unique"),
-      sum(when(col("assignment").isNotNull && !col("unique"), 1L).otherwise(0L))
+      zsum(when(col("assignment").isNotNull, 1L).otherwise(0L)).as("seqs_classified"),
+      zsum(when(col("unique"), 1L).otherwise(0L)).as("seqs_unique"),
+      zsum(when(col("assignment").isNotNull && !col("unique"), 1L).otherwise(0L))
         .as("seqs_multi"),
-      sum(when(col("skipped"), 1L).otherwise(0L)).as("seqs_skipped"),
-      sum(size(col("matches"))).as("total_matches"),
-      sum(col("n_hashes")).as("total_hashes"),
-      round(avg(size(col("matches"))), 4).as("avg_matches_per_seq"))
+      zsum(when(col("skipped"), 1L).otherwise(0L)).as("seqs_skipped"),
+      coalesce(sum(size(col("matches"))).cast("long"), lit(0L)).as("total_matches"),
+      zsum(col("n_hashes").cast("long")).as("total_hashes"),
+      coalesce(round(avg(size(col("matches"))), 4), lit(0.0)).as("avg_matches_per_seq"))
   }
 
   /** Full 18-column `.sta` row (GanonClassify.cpp:1130-1218
@@ -194,17 +195,20 @@ object Classify {
     * One aggregation pass. */
   def staReport(results: Dataset[ReadResult], prefix: String = "sample",
       hierarchyLabel: String = "1"): DataFrame = {
+    // sums over ZERO rows are SQL null — coalesce to 0 so an empty input
+    // yields the reference's all-zero .sta row, not nulls (:1199 writes 0s)
+    def zsum(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
     val agg = results.toDF().agg(
       count(lit(1)).as("seq_processed"),
-      sum(when(col("assignment").isNotNull, 1L).otherwise(0L)).as("seq_classified"),
-      sum(when(col("unique"), 1L).otherwise(0L)).as("seq_unique_matches"),
-      sum(size(col("matches"))).as("matches"),
-      sum(col("discarded_filter").cast("long")).as("dis_matches_rel_filter"),
-      sum(col("discarded_fpr").cast("long")).as("dis_matches_fpr_query"),
-      sum(col("n_hashes").cast("long")).as("kmers_proccessed"),
-      sum(when(col("assignment").isNotNull, col("n_hashes").cast("long"))
+      zsum(when(col("assignment").isNotNull, 1L).otherwise(0L)).as("seq_classified"),
+      zsum(when(col("unique"), 1L).otherwise(0L)).as("seq_unique_matches"),
+      coalesce(sum(size(col("matches"))).cast("long"), lit(0L)).as("matches"),
+      zsum(col("discarded_filter").cast("long")).as("dis_matches_rel_filter"),
+      zsum(col("discarded_fpr").cast("long")).as("dis_matches_fpr_query"),
+      zsum(col("n_hashes").cast("long")).as("kmers_proccessed"),
+      zsum(when(col("assignment").isNotNull, col("n_hashes").cast("long"))
         .otherwise(0L)).as("kmers_from_classified_seqs"),
-      sum(aggregate(col("matches"), lit(0L),
+      zsum(aggregate(col("matches"), lit(0L),
         (acc, m) => acc + m.getField("count"))).as("kmers_matched"))
     // seq_processed floored at 1 "to not report nan on divisions" (:1199)
     val sp = greatest(col("seq_processed").cast("double"), lit(1.0))

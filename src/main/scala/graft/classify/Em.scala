@@ -61,9 +61,9 @@ object Em {
 
     // argmax over the read's candidate array given the broadcast prob map;
     // ties by target asc (see scaladoc)
-    def pickUdf(pv: Map[String, Double]) = {
-      val pB = spark.sparkContext.broadcast(pv)
-      udf((ms: Seq[Row]) => {
+    def assign(pB: org.apache.spark.broadcast.Broadcast[Map[String, Double]])
+        : DataFrame = {
+      val pick = udf((ms: Seq[Row]) => {
         val p = pB.value
         var bt: String = null; var bc = 0L; var bs = -1.0
         ms.foreach { r =>
@@ -75,19 +75,25 @@ object Em {
         }
         (bt, bc)
       })
+      multiReads
+        .select(col("read_id"), pick(col("ms")).as("pick"))
+        .select(col("read_id"), col("pick._1").as("target"),
+          col("pick._2").as("kmer_count"))
     }
-    def assign(pv: Map[String, Double]): DataFrame = multiReads
-      .select(col("read_id"), pickUdf(pv)(col("ms")).as("pick"))
-      .select(col("read_id"), col("pick._1").as("target"),
-        col("pick._2").as("kmer_count"))
 
     var assigned: DataFrame = null
+    // the returned (lazy) DataFrame still references the LAST broadcast, so
+    // only superseded iterations' broadcasts are destroyed
+    var liveB: org.apache.spark.broadcast.Broadcast[Map[String, Double]] = null
     var iter = 0
     var diff = Double.MaxValue
     while (iter < maxIter && diff > threshold) {
-      assigned = assign(probs)
+      val pB = spark.sparkContext.broadcast(probs)
+      assigned = assign(pB)
       val counts = assigned.groupBy("target").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      if (liveB != null) liveB.destroy()
+      liveB = pB
       val newProbs = normalized(allTargets.map(t =>
         t -> (counts.getOrElse(t, 0L) + uniqueCounts.getOrElse(t, 0L) + 1.0)).toSeq)
       // L1 distance between consecutive normalized prob vectors — one pass

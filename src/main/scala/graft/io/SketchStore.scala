@@ -70,7 +70,9 @@ object SketchStore {
       readManifest(spark, dir)
     require(layoutKind == "two", s"not a two-level store: $layoutKind")
     new LazyTwoLevelDb(InterleavedBloom.fromBytes(coarseBytes), targets,
-      counts, layout, params, plan, s"$dir/shards")
+      counts, layout, params, plan, s"$dir/shards",
+      new graft.build.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
   }
 
   private def readManifest(spark: SparkSession, dir: String)

@@ -70,13 +70,18 @@ object Dedup {
       val keep = rnk <= maxBucket
       if (!keep) dropped.add(1L)
       keep
-    })
-    val capped = keyed
+    }).asNondeterministic() // side effect: the optimizer must not clone it
+    val ranked = keyed
       .withColumn("rnk", row_number().over(
         Window.partitionBy("band").orderBy("id")))
-      .filter(keepOrCount(col("rnk")))
-      .drop("rnk")
-    val candidates = capped.as("a").join(capped.as("b"),
+    // the self-join duplicates its child subtree (no exchange reuse under
+    // the window), so only side "a" runs the counting filter — side "b"
+    // applies the identical pure predicate and the accumulator counts each
+    // dropped member once (task retries can still overcount, as with any
+    // transformation-stage accumulator)
+    val cappedA = ranked.filter(keepOrCount(col("rnk"))).drop("rnk")
+    val cappedB = ranked.filter(col("rnk") <= maxBucket).drop("rnk")
+    val candidates = cappedA.as("a").join(cappedB.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

@@ -56,10 +56,14 @@ object Report {
     val keys: Seq[Column] = mode match {
       case "lineage" => Seq(rootFirst, col("lineage").asc)
       case "count"   => Seq(rootFirst, col("cumulative").desc, col("node").asc)
+      // order by the EXACT cumulative count, not cum_perc: the percentage
+      // is rounded to 5 decimals, so at >~2e7 totals two counts differing
+      // by 1 tie on cum_perc and would sort node-asc instead of the
+      // reference's count-desc (report.py:808-864 sorts on raw counts)
       case "unique"  => Seq(rootFirst, col("unique").desc,
-        col("cum_perc").desc, col("node").asc)
+        col("cumulative").desc, col("node").asc)
       case _         => Seq(rootFirst, col("rank_depth").asc,
-        col("cum_perc").desc, col("node").asc)
+        col("cumulative").desc, col("node").asc)
     }
     // reports are small (|nodes| rows) — a global rank window is fine here
     import org.apache.spark.sql.expressions.Window
@@ -86,7 +90,10 @@ object Report {
     val perAnc = lineage.join(sized, lineage("node") === sized("leaf"))
       .select(explode(col("lineage")).as("anc"), col("size"))
       .groupBy("anc").agg(avg(col("size")).as("anc_size"))
-    val globalAvg = sized.agg(avg(col("size"))).first().getDouble(0)
+    val avgRow = sized.agg(avg(col("size"))).first()
+    require(!avgRow.isNullAt(0),
+      "genomeSizesWithFallback: leafSizes has no rows — nothing to average")
+    val globalAvg = avgRow.getDouble(0)
     // node size = deepest sized ancestor (self included)
     val w = Window.partitionBy("node").orderBy(col("pos").desc)
     val resolved = lineage
@@ -331,18 +338,20 @@ object Table {
 
   /** Table-side min/max-count with the dual int/fraction semantics
     * (table.py:199-210): v > 1 absolute count, 0 < v < 1 fraction of the
-    * SAMPLE's total. Zero disables the bound. */
+    * SAMPLE's total. Zero disables the bound — and so does EXACTLY 1,
+    * faithfully to the reference, whose `> 1` / `< 1` branches both skip
+    * v == 1 (table.py:200-209). */
   def minMaxCount(rep: DataFrame, minCount: Double = 0, maxCount: Double = 0)
       : DataFrame = {
     val w = Window.partitionBy("sample")
     val withFrac = rep.withColumn("__frac",
       col("count") / sum(col("count")).over(w))
     val lo =
-      if (minCount <= 0) withFrac
+      if (minCount <= 0 || minCount == 1) withFrac
       else if (minCount > 1) withFrac.filter(col("count") >= minCount)
       else withFrac.filter(col("__frac") >= minCount)
     val hi =
-      if (maxCount <= 0) lo
+      if (maxCount <= 0 || maxCount == 1) lo
       else if (maxCount > 1) lo.filter(col("count") <= maxCount)
       else lo.filter(col("__frac") <= maxCount)
     hi.drop("__frac")

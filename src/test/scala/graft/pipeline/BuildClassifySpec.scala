@@ -42,6 +42,18 @@ class BuildClassifySpec extends AnyFunSuite {
     assert(selfHits == n, s"$selfHits self hits != $n reads")
   }
 
+  test("stats/.sta on EMPTY input: zero row, not null sums") {
+    val res = Classify.classify(spark,
+      corpus.limit(0).withColumn("rid", $"path"), "rid", "content", db)
+    val s = Classify.stats(res).head()
+    assert(!s.anyNull)
+    assert(s.getLong(0) == 0 && s.getLong(5) == 0)
+    val sta = Classify.staReport(res).head()
+    assert(!sta.anyNull)
+    assert(sta.getAs[Long]("seq_processed") == 0 &&
+      sta.getAs[Long]("kmers_matched") == 0)
+  }
+
   test("classify: golden hand-countable — repeated token content") {
     // period-5 content "ab cd ab cd ..." has tiny distinct shingle count;
     // a doc of pure repeats must match only bins containing that pattern

@@ -107,4 +107,26 @@ class TwoLevelSpec extends AnyFunSuite {
     // summed split-bin count >= n (sibling-bin FPs can only add)
     assert(counts(ownBin) >= hs.length)
   }
+
+  test("two-level build survives a whole 64-bin group with zero hashes") {
+    // >64 single-bin targets where the name-sorted TAIL (its own group)
+    // has content shorter than k: those bins route nothing, the group gets
+    // no shard row, and the build must materialize an empty shard instead
+    // of leaving a null (crash pre-fix)
+    val rows = (0 until 70).map { i =>
+      val t = f"t$i%02d"
+      val content = if (i >= 64) "" else s"content-of-$t-" * 5
+      (t, content)
+    }
+    val df = rows.toDF("repo", "content")
+    val two = SketchBuild.buildTwoLevel(spark, df, "repo", "content", p)
+    assert(two.sizeBytes > 0) // walks every shard — NPEs on null
+    val res = Classify.allMatches(Classify.classify(spark,
+      df.withColumn("id", col("repo")), "id", "content", two,
+      ClassifyParams(relCutoff = 1.0, fprQuery = 1.0)))
+    val hits = res.collect().map(r => (r.getString(0), r.getString(1)))
+    // every non-empty doc still self-hits; empty docs are skipped
+    (0 until 64).foreach(i => assert(hits.contains((f"t$i%02d", f"t$i%02d"))))
+    assert(!hits.exists(_._2 >= "t64"))
+  }
 }

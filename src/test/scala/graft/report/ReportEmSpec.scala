@@ -71,6 +71,18 @@ class ReportEmSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("c"))
   }
 
+  test("table: minMaxCount dual semantics — exactly 1 is a no-op (table.py:200-209)") {
+    val rep = Seq(("s1", "a", 60L), ("s1", "b", 30L), ("s1", "c", 10L))
+      .toDF("sample", "node", "count")
+    // reference's `> 1` / `< 1` branches both skip v == 1
+    assert(Table.minMaxCount(rep, minCount = 1).count() == 3)
+    assert(Table.minMaxCount(rep, maxCount = 1).count() == 3)
+    assert(Table.minMaxCount(rep, minCount = 30).collect()
+      .map(_.getString(1)).toSet == Set("a", "b"))
+    assert(Table.minMaxCount(rep, minCount = 0.25).collect()
+      .map(_.getString(1)).toSet == Set("a", "b"))
+  }
+
   test("em: reassigns multi-matches toward the unique-evidence target") {
     // r1,r2,r3 unique to A; r4,r5 unique to B... and m1..m4 match both
     // with equal counts — EM must send them all to the majority target A
