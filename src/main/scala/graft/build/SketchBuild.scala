@@ -340,7 +340,7 @@ object SketchBuild {
   def targetCardinalities(df: DataFrame, targetCol: String, contentCol: String,
       p: IbfParams): DataFrame = {
     val base =
-      if (p.minContentLen > 0) df.filter(length(col(contentCol)) >= p.minContentLen)
+      if (p.minContentLen > 0) df.filter(octet_length(col(contentCol)) >= p.minContentLen)
       else df
     base
       .select(col(targetCol).as("target"),
@@ -502,7 +502,7 @@ object SketchBuild {
       }
     })
     val base =
-      if (p.minContentLen > 0) df.filter(length(col(contentCol)) >= p.minContentLen)
+      if (p.minContentLen > 0) df.filter(octet_length(col(contentCol)) >= p.minContentLen)
       else df
     val routed = base
       .select(col(targetCol).as("target"),

@@ -60,7 +60,7 @@ object Classify {
       coalesce(col(contentCol), lit("")), db.params.k, db.params.w, db.params.seed)
     reads
       .select(col(idCol).cast("string").as("read_id"),
-        coalesce(length(col(contentCol)), lit(0)).as("len"), shExpr.as("hs"))
+        coalesce(octet_length(col(contentCol)), lit(0)).as("len"), shExpr.as("hs"))
       .as[(String, Int, Array[Long])]
       .mapPartitions { iter =>
         val d = dbB.value
@@ -277,7 +277,7 @@ object Classify {
       coalesce(col(contentCol), lit("")), p0.k, p0.w, p0.seed)
     reads
       .select(col(idCol).cast("string").as("read_id"),
-        coalesce(length(col(contentCol)), lit(0)).as("len"), shExpr.as("hs"))
+        coalesce(octet_length(col(contentCol)), lit(0)).as("len"), shExpr.as("hs"))
       .as[(String, Int, Array[Long])]
       .mapPartitions { iter =>
         val ds = dbsB.value
@@ -303,6 +303,10 @@ object Classify {
       seen.toArray
     }
     private val idx: Map[String, Int] = targets.zipWithIndex.toMap
+    // per-db local target index -> merged index, precomputed once (the
+    // instance is built once per partition) so probe never hashes strings
+    private val globalOf: Array[Array[Int]] =
+      dbs.map(d => d.targets.map(idx))
     val targetHashes: Array[Long] = {
       val out = new Array[Long](targets.length)
       dbs.reverse.foreach { d => // first db wins -> apply in reverse
@@ -310,32 +314,42 @@ object Classify {
       }
       out
     }
+    // per-merged-target max FPR across member filters (conservative),
+    // precomputed so fpr-query reads a scalar per surviving match
+    private val fprOf: Array[Double] = {
+      val out = new Array[Double](targets.length)
+      dbs.indices.foreach { di =>
+        val d = dbs(di)
+        d.targets.indices.foreach { i =>
+          val g = globalOf(di)(i)
+          out(g) = math.max(out(g), d.binFpr(i))
+        }
+      }
+      out
+    }
+    // the merged db is instantiated per task (single-threaded), so one
+    // reusable scratch buffer covers all member filters
+    private val scratch = new Array[Int](
+      dbs.iterator.map(_.targets.length).max)
     def params: graft.build.IbfParams = dbs.head.params
     def plan: graft.build.IbfPlan = dbs.head.plan
-    def binFpr(bin: Int): Double = {
-      // max FPR across filters holding this target (conservative)
-      var fp = 0.0
-      val t = targets(bin)
-      dbs.foreach { d =>
-        d.targetIndex.get(t).foreach(b => fp = math.max(fp, d.binFpr(b)))
-      }
-      fp
-    }
+    def binFpr(bin: Int): Double = fprOf(bin)
     def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
       var di = 0
       while (di < dbs.length) {
         val d = dbs(di)
+        val g = globalOf(di)
+        val nLocal = d.targets.length
         val dCut = math.max(cutoff,
           math.max(1, math.ceil(hashes.length * rels(di)).toInt))
-        val local = new Array[Int](d.targets.length)
+        val local = scratch
+        java.util.Arrays.fill(local, 0, nLocal, 0)
         d.probe(hashes, local, dCut)
         var i = 0
-        while (i < local.length) {
+        while (i < nLocal) {
           // per-filter cutoff applies BEFORE the max-count merge
-          if (local(i) >= dCut) {
-            val g = idx(d.targets(i))
-            if (local(i) > counts(g)) counts(g) = local(i)
-          }
+          if (local(i) >= dCut && local(i) > counts(g(i)))
+            counts(g(i)) = local(i)
           i += 1
         }
         di += 1
@@ -351,12 +365,15 @@ object Classify {
   def observed(results: Dataset[ReadResult])
       : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation()
+    // coalesce: sums over zero rows are SQL null (same guard as stats())
     val df = results.toDF().observe(obs,
       count(lit(1)).as("seqs_processed"),
-      sum(when(col("assignment").isNotNull, 1L).otherwise(0L))
-        .as("seqs_classified"),
-      sum(when(col("skipped"), 1L).otherwise(0L)).as("seqs_skipped"),
-      sum(size(col("matches"))).as("total_matches"))
+      coalesce(sum(when(col("assignment").isNotNull, 1L).otherwise(0L)),
+        lit(0L)).as("seqs_classified"),
+      coalesce(sum(when(col("skipped"), 1L).otherwise(0L)), lit(0L))
+        .as("seqs_skipped"),
+      coalesce(sum(size(col("matches"))).cast("long"), lit(0L))
+        .as("total_matches"))
     (df, obs)
   }
 
@@ -365,6 +382,10 @@ object Classify {
    * level's db in order; reads unresolved at level i feed level i+1.
    * Expressed as an iterative filter on the per-read result dataset —
    * no anti-join shuffle needed because assignment status is row-local.
+   *
+   * The RETURNED DataFrame is persisted (it must be materialized before
+   * the per-level caches it derives from are released); call
+   * `.unpersist()` on it when done to free the storage.
    */
   def cascade(spark: SparkSession, reads: DataFrame, idCol: String,
       contentCol: String, levels: Seq[(String, ProbeDb)],

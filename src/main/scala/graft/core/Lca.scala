@@ -41,10 +41,13 @@ final class Lca private (
     nameOf(eulerNode(rmq(l, r)))
   }
 
-  /** Fold LCA over a node list (reference LCA.hpp:165-174). */
+  /** Fold LCA over a node list (reference LCA.hpp:165-174). A singleton
+    * list resolves unknown nodes to the root too (the reduce path only
+    * patches unknowns inside `lca`). */
   def lcaAll(nodes: Seq[String]): String = nodes match {
-    case Seq() => root
-    case _     => nodes.reduce(lca)
+    case Seq()    => root
+    case Seq(one) => if (idOf.contains(one)) one else root
+    case _        => nodes.reduce(lca)
   }
 }
 

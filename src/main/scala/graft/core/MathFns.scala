@@ -44,12 +44,18 @@ object MathFns {
     if (p >= 1.0) return 1.0
     val lp = math.log(p)
     val lq = math.log1p(-p)
+    // terms rise to the distribution mode then fall monotonically: once a
+    // term past the mode underflows to 0.0 every later term is 0 too, so
+    // stop — without this, a confident match in a low-FPR db (q below
+    // double range) would scan all n-k terms at 3 lgamma calls each
+    val mode = math.floor((n + 1) * p).toLong
     var acc = 0.0
     var i = k
     var consecTiny = 0
     while (i <= n && consecTiny < 3) {
       val lt = logChoose(n, i) + i * lp + (n - i) * lq
       val t = math.exp(lt)
+      if (t == 0.0 && i >= mode) return math.min(1.0, acc)
       acc += t
       if (acc > 0 && t < acc * 1e-16) consecTiny += 1 else consecTiny = 0
       i += 1

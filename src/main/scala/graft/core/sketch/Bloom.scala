@@ -108,12 +108,6 @@ object Bloom {
     ((math.max(64L, m) + 63) / 64) * 64
   }
 
-  /** The un-rounded information-theoretic size (for hash-count choice). */
-  def optimalBitsExact(n: Long, p: Double): Long = {
-    require(p > 0 && p < 1)
-    math.max(64L, math.ceil(-n.toDouble * math.log(p) / (Ln2 * Ln2)).toLong)
-  }
-
   /** Optimal hash-function count for m bits / n elements. */
   def optimalHashes(m: Long, n: Long): Int =
     math.max(1, math.round(m.toDouble / math.max(1L, n) * Ln2).toInt)

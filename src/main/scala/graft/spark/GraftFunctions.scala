@@ -113,17 +113,35 @@ object GraftFunctions {
 
   // ---- SQL registration --------------------------------------------------
 
+  // SQL literal args arrive as whatever numeric type the parser chose
+  // (42 is Int, 42L is Long): coerce instead of asInstanceOf, which would
+  // throw ClassCastException on the "wrong" literal width
+  private def evalIntArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = e.eval() match {
+    case n: java.lang.Number => n.intValue()
+    case x => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $x")
+  }
+  private def evalLongArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Long = e.eval() match {
+    case n: java.lang.Number => n.longValue()
+    case x => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $x")
+  }
+
   /** Register the engine's functions for spark.sql use. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       es => ShinglesExpr(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
-        if (es.length > 3) es(3).eval().asInstanceOf[Long] else Hashing.DefaultSeed),
+        evalIntArg(es(1), "k"), evalIntArg(es(2), "w"),
+        if (es.length > 3) evalLongArg(es(3), "seed") else Hashing.DefaultSeed),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_hashes",
-      es => TokenHashesExpr(es.head, Hashing.DefaultSeed), "scala_udf")
+      es => TokenHashesExpr(es.head,
+        if (es.length > 1) evalLongArg(es(1), "seed") else Hashing.DefaultSeed),
+      "scala_udf")
     spark.udf.register("graft_hash64", hash64Udf)
     spark.udf.register("graft_simhash", simhashUdf)
     spark.udf.register("graft_hll_count", udaf(new HllCountAgg(14)))

@@ -30,6 +30,8 @@ class CoreMiscSpec extends AnyFunSuite {
     assert(lca.lcaAll(Seq("f1")) == "f1")
     assert(lca.lcaAll(Seq()) == "root")
     assert(lca.lcaAll(Seq("f1", "repo-c", "f3")) == "root")
+    // singleton unknown resolves to root too (reduce never runs there)
+    assert(lca.lcaAll(Seq("nope-only")) == "root")
   }
 
   test("lca: unknown nodes resolve towards root (missing-target patch)") {
@@ -54,6 +56,16 @@ class CoreMiscSpec extends AnyFunSuite {
     // X ~ Bin(10, 0.1): P(X>=1) = 1 - 0.9^10
     assert(math.abs(MathFns.binomTailUpper(10, 1, 0.1) -
       (1 - math.pow(0.9, 10))) < 1e-12)
+  }
+
+  test("binomTailUpper: underflowed tail exits early (confident-match path)") {
+    // n=65535, p=1e-9, k far past the mode: every term underflows to 0 —
+    // must return 0 after O(1) terms, not scan 49k lgamma triples
+    val t0 = System.nanoTime()
+    val q = MathFns.binomTailUpper(65535L, 16385L, 1e-9)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(q == 0.0)
+    assert(ms < 50, s"took $ms ms — the underflow early-exit did not fire")
   }
 
   test("binomTailUpper: fpr-query regime (large n, small p, large c) is tiny") {

@@ -42,6 +42,19 @@ class BuildClassifySpec extends AnyFunSuite {
     assert(selfHits == n, s"$selfHits self hits != $n reads")
   }
 
+  test("multibyte content: the skip check counts BYTES like the shingle window") {
+    // 5 CJK chars = 15 UTF-8 bytes: >= w=12 bytes so it MUST classify;
+    // a character-based check (5 < 12) would wrongly skip it
+    val df = Seq(("cjk", "漢字漢字漢"),
+      ("ascii", "abcdefghijklmnopqrstuvwxyz")).toDF("repo", "content")
+    val db2 = SketchBuild.build(spark, df, "repo", "content", params)
+    val res = Classify.classify(spark,
+      df.withColumn("rid", $"repo"), "rid", "content", db2)
+    val m = res.collect().map(r => r.read_id -> r).toMap
+    assert(!m("cjk").skipped, "45-byte CJK read was skipped on char length")
+    assert(m("cjk").assignment == "cjk")
+  }
+
   test("stats/.sta on EMPTY input: zero row, not null sums") {
     val res = Classify.classify(spark,
       corpus.limit(0).withColumn("rid", $"path"), "rid", "content", db)

@@ -134,4 +134,25 @@ class UdafSpec extends AnyFunSuite {
     assert(arr.getAs[scala.collection.Seq[Long]](0).nonEmpty)
     assert(arr.getAs[scala.collection.Seq[Long]](1).size == 3) // distinct tokens
   }
+
+  test("sql seed literals: int/long widths coerce; token seed is honored") {
+    GraftFunctions.register(spark)
+    spark.createDataset(Seq("alpha beta gamma alpha")).toDF("text")
+      .createOrReplaceTempView("t_reg2")
+    // 42 parses as IntegerType, 42L would be LongType — both must work
+    val a = spark.sql(
+      "select graft_shingles(text, 4, 4, 42), graft_token_hashes(text, 42)" +
+        " from t_reg2").first()
+    val b = spark.sql(
+      "select graft_shingles(text, 4, 4, CAST(42 AS BIGINT))," +
+        " graft_token_hashes(text, CAST(42 AS BIGINT)) from t_reg2").first()
+    assert(a.getAs[scala.collection.Seq[Long]](0) ==
+      b.getAs[scala.collection.Seq[Long]](0))
+    assert(a.getAs[scala.collection.Seq[Long]](1) ==
+      b.getAs[scala.collection.Seq[Long]](1))
+    // a non-default seed must actually change the token hashes
+    val d = spark.sql("select graft_token_hashes(text) from t_reg2").first()
+    assert(a.getAs[scala.collection.Seq[Long]](1) !=
+      d.getAs[scala.collection.Seq[Long]](0))
+  }
 }
