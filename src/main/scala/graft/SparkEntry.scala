@@ -921,16 +921,18 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q05_token_stats" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
-        |    AS n_distinct_tokens,
-        |  CAST(len(list_filter(string_split(trim(text), ' '),
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(list_filter(ts,
         |    t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
         |    AS BIGINT) AS n_stopwords,
-        |  CAST(list_sum(list_transform(string_split(trim(text), ' '),
-        |    t -> strlen(t))) AS BIGINT) AS sum_token_len
-        |FROM documents""".stripMargin,
+        |  CAST(COALESCE(list_sum(list_transform(ts, t -> strlen(t))), 0)
+        |    AS BIGINT) AS sum_token_len
+        |FROM toks""".stripMargin,
 
     "q06_quality_signals" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

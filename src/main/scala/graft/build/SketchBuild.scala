@@ -179,8 +179,17 @@ final class TwoLevelSketchDb(
 
   private val groupCutoffSafe = !layout.anyGroupSpanning
 
+  // per-thread coarse/fine count scratch — the probe runs once per READ,
+  // so per-row allocation here is pure GC churn (same discipline as
+  // techScratch)
+  @transient private lazy val gcScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](shards.length))
+  @transient private lazy val localScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](64))
+
   def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
-    val gc = new Array[Int](shards.length)
+    val gc = gcScratch.get()
+    java.util.Arrays.fill(gc, 0)
     coarse.bulkCount(hashes, gc)
     val effCutoff = if (groupCutoffSafe) cutoff else 1
     val tech = techScratch.get()
@@ -189,7 +198,8 @@ final class TwoLevelSketchDb(
     while (g < shards.length) {
       if (gc(g) >= effCutoff) {
         val nLocal = shards(g).numBins
-        val local = new Array[Int](nLocal)
+        val local = localScratch.get()
+        java.util.Arrays.fill(local, 0, nLocal, 0)
         shards(g).bulkCount(hashes, local)
         val off = g * 64
         var i = 0
@@ -273,8 +283,15 @@ final class LazyTwoLevelDb(
     } finally in.close()
   }
 
+  // per-thread count scratch — probe runs per read (see TwoLevelSketchDb)
+  @transient private lazy val gcScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](layout.numGroups))
+  @transient private lazy val localScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](64))
+
   def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
-    val gc = new Array[Int](layout.numGroups)
+    val gc = gcScratch.get()
+    java.util.Arrays.fill(gc, 0)
     coarse.bulkCount(hashes, gc)
     val effCutoff = if (groupCutoffSafe) cutoff else 1
     val tech = techScratch.get()
@@ -283,7 +300,8 @@ final class LazyTwoLevelDb(
     while (g < layout.numGroups) {
       if (gc(g) >= effCutoff) {
         val sh = shard(g)
-        val local = new Array[Int](sh.numBins)
+        val local = localScratch.get()
+        java.util.Arrays.fill(local, 0, sh.numBins, 0)
         sh.bulkCount(hashes, local)
         val off = g * 64
         var i = 0
@@ -437,7 +455,9 @@ object SketchBuild {
     import spark.implicits._
 
     // ---- pass 1 (or resume) ----
-    val cardsDf = checkpointed(spark, checkpointDir, "pass1_cardinalities") {
+    val tag = paramsTag(p) + s";target=$targetCol;content=$contentCol;two=$twoLevel"
+    val cardsDf = checkpointed(spark, checkpointDir, "pass1_cardinalities",
+        tag) {
       targetCardinalities(df, targetCol, contentCol, p)
     }
     val cards = cardsDf.as[(String, Long)].collect().sortBy(_._1).toSeq
@@ -460,7 +480,8 @@ object SketchBuild {
     // ---- pass 2 (or resume): route -> one shard per 64-bin group ----
     val entries = cards.indices.map(i =>
       (cards(i)._1, layout.base(i), layout.split(i)))
-    val binsDf = checkpointed(spark, checkpointDir, "pass2_group_shards") {
+    val binsDf = checkpointed(spark, checkpointDir, "pass2_group_shards",
+        tag) {
       shardPass(spark, df, targetCol, contentCol, p, thePlan, entries,
         layout.numGroups, coarseBits, coarseH, twoLevel)
     }
@@ -642,15 +663,39 @@ object SketchBuild {
       db.plan.copy(numBins = nextBin, expectedMaxFp = maxFpReal))
   }
 
+  /** Resume guard: a checkpoint is only valid for the PARAMS that produced
+    * it. The fingerprint is written next to the data and checked on
+    * resume — a changed maxFp/k/w/seed recomputes instead of silently
+    * stitching stale shards into a differently-sized plan. (Same INPUT
+    * data per checkpointDir remains the caller's contract, as with any
+    * path-keyed checkpoint.) */
+  private def paramsTag(p: IbfParams): String =
+    s"k=${p.k};w=${p.w};seed=${p.seed};maxFp=${p.maxFp};hllP=${p.hllP};" +
+      s"minLen=${p.minContentLen};mode=${p.sizingMode}"
+
   private def checkpointed(spark: SparkSession, dir: Option[String],
-      stage: String)(make: => DataFrame): DataFrame = dir match {
+      stage: String, tag: String)(make: => DataFrame): DataFrame = dir match {
     case None => make
     case Some(d) =>
       val path = s"$d/$stage"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
       val ok = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-      if (!fs.exists(ok)) make.write.mode("overwrite").parquet(path)
+      val tagPath = new org.apache.hadoop.fs.Path(path + "/_PARAMS")
+      val tagMatches = fs.exists(tagPath) && {
+        val in = fs.open(tagPath)
+        try {
+          val buf = new Array[Byte](fs.getFileStatus(tagPath).getLen.toInt)
+          in.readFully(0, buf)
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8) == tag
+        } finally in.close()
+      }
+      if (!fs.exists(ok) || !tagMatches) {
+        make.write.mode("overwrite").parquet(path)
+        val out = fs.create(tagPath, true)
+        try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       spark.read.parquet(path)
   }
 }

@@ -13,8 +13,9 @@ import graft.core.sketch.{Bloom, InterleavedBloom}
  * serialized coarse structure; two-level layouts add one row per fine shard.
  *
  * Layout under `dir`:
- *   manifest.parquet  (version, layout, k, w, seed, maxFp, bitsPerBin,
- *                      numHashes, maxHashesBin, numBins, ibf)
+ *   manifest.parquet  (version, layout, k, w, seed, maxFp, hllP,
+ *                      minContentLen, sizingMode, bitsPerBin, numHashes,
+ *                      maxHashesBin, numBins, ibf)
  *   bins.parquet      (target, n_hashes, base, split)  — the bin map
  *   shards.parquet    (grp, ibf)                       [two-level only]
  *
@@ -24,7 +25,7 @@ import graft.core.sketch.{Bloom, InterleavedBloom}
  */
 object SketchStore {
 
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   private def writeManifest(spark: SparkSession, db: SplitBinDb, layout: String,
       ibfBytes: Array[Byte], dir: String): Unit = {
@@ -34,9 +35,11 @@ object SketchStore {
     }.toDF("target", "n_hashes", "base", "split")
     bins.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/bins.parquet")
     Seq((FormatVersion, layout, db.params.k, db.params.w, db.params.seed,
-      db.params.maxFp, db.plan.bitsPerBin, db.plan.numHashes,
+      db.params.maxFp, db.params.hllP, db.params.minContentLen,
+      db.params.sizingMode, db.plan.bitsPerBin, db.plan.numHashes,
       db.plan.maxHashesBin, db.plan.numBins, ibfBytes))
-      .toDF("version", "layout", "k", "w", "seed", "max_fp", "bits_per_bin",
+      .toDF("version", "layout", "k", "w", "seed", "max_fp", "hll_p",
+        "min_content_len", "sizing_mode", "bits_per_bin",
         "num_hashes", "max_hashes_bin", "num_bins", "ibf")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/manifest.parquet")
@@ -80,8 +83,13 @@ object SketchStore {
     val m = spark.read.parquet(s"$dir/manifest.parquet").head()
     val version = m.getAs[Int]("version")
     require(version == FormatVersion, s"unsupported version $version")
+    // hllP/minContentLen/sizingMode must round-trip too: update() on a
+    // loaded db re-runs pass 1 with these params
     val params = IbfParams(k = m.getAs[Int]("k"), w = m.getAs[Int]("w"),
-      seed = m.getAs[Long]("seed"), maxFp = m.getAs[Double]("max_fp"))
+      seed = m.getAs[Long]("seed"), maxFp = m.getAs[Double]("max_fp"),
+      hllP = m.getAs[Int]("hll_p"),
+      minContentLen = m.getAs[Int]("min_content_len"),
+      sizingMode = m.getAs[String]("sizing_mode"))
     val bins = spark.read.parquet(s"$dir/bins.parquet")
       .collect().map(r => (r.getAs[String]("target"), r.getAs[Long]("n_hashes"),
         r.getAs[Int]("base"), r.getAs[Int]("split")))

@@ -19,6 +19,15 @@ import graft.core.Hashing
  */
 object Ann {
 
+  /** Embedding dimensionality = MAX vector length in the frame. A
+    * first-row-only read would crash on empty input and silently truncate
+    * every projection when later rows are wider. */
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.agg(max(size(col(vecCol)))).first()
+    require(!r.isNullAt(0), s"cannot derive embedding dim: '$vecCol' is empty")
+    r.getInt(0)
+  }
+
   private def dotNorm(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -112,9 +121,8 @@ object Ann {
   def lshNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, nBits: Int = 8, tables: Int = 12,
       maxBucket: Int = 10000): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val dim = df.select(col(vecCol)).as[Array[Float]].head().length
+    val dim = vecDim(df, vecCol)
     val sigs = (0 until tables).map(t2 => lshSignature(dim, nBits, 7L + t2 * 1000003L))
     val keyUdf = udf((v2: Array[Float]) =>
       sigs.zipWithIndex.map { case (f, t2) => t2.toLong << 32 | f(v2) }.toArray)
@@ -175,7 +183,7 @@ object Ann {
       idCol: String, vecCol: String, k: Int, nBits: Int = 6,
       tables: Int = 12, multiProbe: Boolean = true): DataFrame = {
     import spark.implicits._
-    val dim = corpus.select(col(vecCol)).as[Array[Float]].head().length
+    val dim = vecDim(corpus, vecCol)
     val sigs = (0 until tables).map(t => lshSignature(dim, nBits, 7L + t * 1000003L))
     def key(t: Int, sig: Long): Long = t.toLong << 32 | sig
     val cKeys = udf((v: Array[Float]) =>

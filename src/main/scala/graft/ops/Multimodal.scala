@@ -54,7 +54,10 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[MediaFeature] = {
     import spark.implicits._
-    val totalBytes = media.agg(sum(col("n_bytes"))).first().getLong(0)
+    // sum over zero rows is SQL null — an empty media table yields an
+    // empty result, not an unboxing NPE
+    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+      .first().getLong(0)
     val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
     media.select(col("doc_id"), col("payload"), col("n_bytes"))
       .repartition(math.min(parts, 2048))

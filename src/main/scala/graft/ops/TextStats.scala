@@ -15,9 +15,12 @@ object TextStats {
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** Integer-only per-doc token statistics (exact, oracle-friendly):
-    * n_tokens, n_distinct_tokens, n_stopwords, sum_token_len. */
+    * n_tokens, n_distinct_tokens, n_stopwords, sum_token_len. Tokens split
+    * on ANY whitespace run with empties removed, so an empty/whitespace-only
+    * doc counts 0 tokens (split(trim, " +") counted it as 1 and never broke
+    * on tabs/newlines) — same tokenization as [[Hashing.tokenHashes]]. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(trim(col(textCol)), " +")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
     df.select(
       col(idCol).cast("long").as("doc_id"),
       size(toks).cast("long").as("n_tokens"),
@@ -66,6 +69,8 @@ object TextStats {
       .groupBy("lang").agg(collect_set(col("g")).as("grams"))
       .as[(String, Seq[String])].collect()
       .map { case (l, g) => (l, g.toSet) }.sortBy(_._1)
+    require(profiles.nonEmpty,
+      "langId: no trainable profiles (training frame empty or all docs < 3 chars)")
     val profB = spark.sparkContext.broadcast(profiles)
     val predict = udf((s: String) => {
       val ps = profB.value

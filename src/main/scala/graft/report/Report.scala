@@ -22,7 +22,11 @@ object Report {
    */
   def tree(counts: DataFrame, lineage: DataFrame): DataFrame = {
     val joined = counts.join(broadcast(lineage), Seq("node"))
-    val total = counts.agg(sum(col("direct_count"))).first().getLong(0).toDouble
+    // sum over zero rows is SQL null: floor at 1 so an empty counts frame
+    // yields an empty tree instead of an unboxing NPE
+    val total = math.max(1L, counts
+      .agg(coalesce(sum(col("direct_count")), lit(0L))).first().getLong(0))
+      .toDouble
     val cum = joined
       .select(col("direct_count"), explode(col("lineage")).as("anc"))
       .groupBy(col("anc").as("node"))
@@ -305,9 +309,12 @@ object Table {
   /** drop all-zero rows/cols of a pivoted table (table.py:416-426):
     * samples with zero total and node columns never observed. */
   def trimZeros(pivoted: DataFrame, nodeCols: Seq[String]): DataFrame = {
+    // node names are data (file basenames etc.) — resolve them as quoted
+    // identifiers, or a dot in a name parses as a struct-field access
+    def qcol(c: String) = pivoted.col(s"`$c`")
     // ONE aggregation pass for all column sums (not one job per column)
-    val sums = pivoted.agg(
-      nodeCols.head -> "sum", nodeCols.tail.map(_ -> "sum"): _*).first()
+    val sums = pivoted.agg(sum(qcol(nodeCols.head)),
+      nodeCols.tail.map(c => sum(qcol(c))): _*).first()
     val nonZeroCols = nodeCols.zipWithIndex.filter { case (_, i) =>
       sums.get(i) match {
         case null => false
@@ -316,8 +323,8 @@ object Table {
         case v => v.toString.toDouble != 0.0
       }
     }.map(_._1)
-    val rowSum = nonZeroCols.map(col).reduceOption(_ + _).getOrElse(lit(0))
-    pivoted.select((col("sample") +: nonZeroCols.map(col)): _*)
+    val rowSum = nonZeroCols.map(qcol).reduceOption(_ + _).getOrElse(lit(0))
+    pivoted.select((col("sample") +: nonZeroCols.map(qcol)): _*)
       .filter(rowSum > 0)
   }
 

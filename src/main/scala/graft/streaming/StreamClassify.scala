@@ -38,13 +38,15 @@ object StreamClassify {
       contentCol: String, tsCol: String, db: ProbeDb, window_ : String,
       watermark: String, cp: ClassifyParams = ClassifyParams()): DataFrame = {
     val withTs = stream.withColumn("__ts", col(tsCol).cast("timestamp"))
+    // round-trip event time at MICROSECOND precision (a cast to long would
+    // truncate to whole seconds, shifting sub-second windows + watermarks)
     val res = Classify.classify(spark, withTs
       .withColumn("__id", concat(col(idCol), lit("@"),
-        col("__ts").cast("long"))), "__id", contentCol, db, cp)
+        expr("unix_micros(__ts)"))), "__id", contentCol, db, cp)
     res.toDF()
       .select(col("read_id"), explode(col("matches")).as("m"))
       .withColumn("__ts",
-        expr("cast(cast(substring_index(read_id, '@', -1) as long) as timestamp)"))
+        expr("timestamp_micros(cast(substring_index(read_id, '@', -1) as long))"))
       .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), window_), col("m.target").as("target"))
       .agg(count(lit(1)).as("n_matches"))
