@@ -89,12 +89,14 @@ object Bench {
 
     // best-of-k per level: the sandbox shares CPU with co-tenants, so min
     // is the honest estimate of the machine's capability at each level
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt)
     val corpusDir = stageCorpus(benchRows)
 
-    // co-tenant noise swings each level 2x between minutes, so N and 4N are
-    // measured as ADJACENT pairs (same noise window); the reported pair is
-    // the fastest-at-4N one, its efficiency from the same window's N time.
+    // co-tenant noise swings each level 2x between minutes; N and 4N run
+    // as interleaved reps and the reported efficiency uses each level's
+    // MIN across reps (the "method" field in the JSON says so) — the quiet
+    // windows of the two levels rarely coincide inside one pair.
     // Each session warms on a ~7% sample FIRST: JIT (C2) + codegen compile
     // are per-session costs that would otherwise sit as a ~10 s
     // parallelism-independent constant inside the timed run and cap the
@@ -148,7 +150,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries cache their scans; clear AFTER timing so caches never
+      // accumulate across the 46-query sweep (eviction churn would skew
+      // later timings)
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }
     val total = results.filter(_._2 >= 0).map(_._2).sum
 

@@ -148,7 +148,8 @@ object SparkEntry {
       val est = hs.groupBy("lang")
         .agg(GraftFunctions.hllCount(col("hs"), 14).as("est"))
       val exact = docs
-        .select(col("lang"), explode(split(trim(col("text")), " +")).as("tok"))
+        .select(col("lang"), explode(filter(split(col("text"), "\\s+"),
+          t2 => t2 =!= "")).as("tok"))
         .groupBy("lang").agg(countDistinct(col("tok")).as("n_exact"))
       val bound = 3 * 1.04 / math.sqrt((1 << 14).toDouble)
       est.join(exact, Seq("lang"))
@@ -175,7 +176,8 @@ object SparkEntry {
     "q13_cms_tokens" -> ((s, dir) => {
       import graft.core.sketch.CountMin
       val docs = t(s, dir, "documents").cache()
-      val toks = docs.select(explode(split(trim(col("text")), " +")).as("tok"))
+      val toks = docs.select(explode(filter(split(col("text"), "\\s+"),
+        t2 => t2 =!= "")).as("tok"))
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
       // build the CMS distributively over per-row token MULTISET hashes
@@ -188,9 +190,10 @@ object SparkEntry {
       val cms = CountMin.fromBytes(cmsBytes)
       val epsN = cms.eps * cms.total
       val estOf = udf((tok: String) => cms.estimate(Hashing.hashString(tok)))
-      exact.select(col("tok"), col("exact_cnt").cast("long").as("exact_cnt"),
-        (estOf(col("tok")) >= col("exact_cnt") &&
-          estOf(col("tok")) <= col("exact_cnt") + epsN).as("ok"))
+      exact.withColumn("est", estOf(col("tok")))
+        .select(col("tok"), col("exact_cnt").cast("long").as("exact_cnt"),
+          (col("est") >= col("exact_cnt") &&
+            col("est") <= col("exact_cnt") + epsN).as("ok"))
     }),
 
     "q14_kll_quantiles" -> ((s, dir) => {
@@ -500,9 +503,10 @@ object SparkEntry {
       val cms = CountMin.fromBytes(cmsBytes)
       val epsN = cms.eps * cms.total
       val estOf = udf((u: Long) => cms.estimate(Hashing.hashLong(u)))
-      exact.select(col("user_id"), col("exact_cnt").cast("long").as("exact_cnt"),
-        (estOf(col("user_id")) >= col("exact_cnt") &&
-          estOf(col("user_id")) <= col("exact_cnt") + epsN).as("ok"))
+      exact.withColumn("est", estOf(col("user_id")))
+        .select(col("user_id"), col("exact_cnt").cast("long").as("exact_cnt"),
+          (col("est") >= col("exact_cnt") &&
+            col("est") <= col("exact_cnt") + epsN).as("ok"))
     }),
 
     "q31_embed_neardup" -> ((s, dir) => {
@@ -573,7 +577,8 @@ object SparkEntry {
       // exact 8-gram-join classification + LCA over the 3-level lineage
       // in SQL (k = w = 8 makes the shingle set exactly the distinct
       // 8-grams, so DuckDB can reproduce the counts)
-      val docs = t(s, dir, "documents").filter(length(col("text")) >= 8)
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) >= 8)
       val binned = docs.withColumn("target",
         concat(col("lang"), lit("/"), col("source")))
       val p = IbfParams(k = 8, w = 8, maxFp = 1e-6)
@@ -661,7 +666,8 @@ object SparkEntry {
       // 185-215 worked example): keep count >= maxC - ceil((maxC-minC)*0.1)
       // among the rel-cutoff survivors; oracle reproduces both windows on
       // exact 8-gram counts
-      val docs = t(s, dir, "documents").filter(length(col("text")) >= 8)
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) >= 8)
       val binned = docs.withColumn("target",
         concat(col("lang"), lit("/"), col("source")))
       val p = IbfParams(k = 8, w = 8, maxFp = 1e-6)
@@ -930,18 +936,21 @@ object SparkEntry {
         |  CAST(len(list_filter(ts,
         |    t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
         |    AS BIGINT) AS n_stopwords,
-        |  CAST(COALESCE(list_sum(list_transform(ts, t -> strlen(t))), 0)
+        |  CAST(COALESCE(list_sum(list_transform(ts, t -> length(t))), 0)
         |    AS BIGINT) AS sum_token_len
         |FROM toks""".stripMargin,
 
+    // length() counts CHARACTERS in both engines (Spark length ==
+    // DuckDB length); strlen here would count bytes and diverge on any
+    // non-ASCII text
     "q06_quality_signals" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(strlen(text) AS BIGINT) AS n_chars,
-        |  CAST(strlen(text) - strlen(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
         |    AS BIGINT) AS n_letters,
-        |  CAST(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
         |    AS BIGINT) AS n_digits,
-        |  CAST(strlen(text) - strlen(replace(text, ' ', ''))
+        |  CAST(length(text) - length(replace(text, ' ', ''))
         |    AS BIGINT) AS n_spaces
         |FROM documents""".stripMargin,
 
@@ -985,7 +994,8 @@ object SparkEntry {
     "q11_hll_tokens" ->
       """SELECT lang,
         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact, true AS ok
-        |FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+        |FROM (SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok
         |      FROM documents)
         |GROUP BY lang""".stripMargin,
 
@@ -996,7 +1006,8 @@ object SparkEntry {
 
     "q13_cms_tokens" ->
       """SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt, true AS ok
-        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+        |FROM (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY exact_cnt DESC, tok ASC LIMIT 20""".stripMargin,
 
@@ -1008,17 +1019,22 @@ object SparkEntry {
       """SELECT DISTINCT lang, true AS zero_fn, true AS fpr_ok
         |FROM documents""".stripMargin,
 
-    // the oracle expresses the engine's skip rule (len < w=8 -> skipped,
-    // > 65535 hashes i.e. len > 65542 -> uint16 overflow skip) so the
-    // contract is data-independent, not an artifact of this corpus
+    // the oracle expresses the engine's skip rule EXACTLY: the read is
+    // classified iff its distinct byte-8-gram count nd is in [1, 65535]
+    // (nd = 0 <=> fewer than w=8 bytes; nd > 65535 = uint16 overflow
+    // skip). A length bound alone would misjudge repetitive docs, whose
+    // nd stays tiny at any length.
     "q16_classify_selfhit" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  (strlen(text) BETWEEN 8 AND 65542) AS hit_own
+        |  (len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |   BETWEEN 1 AND 65535) AS hit_own
         |FROM documents""".stripMargin,
 
     "q17_minhash_dups" ->
       """WITH tok AS (
-        |  SELECT doc_id, list_sort(list_distinct(string_split(trim(text), ' ')))
+        |  SELECT doc_id, list_sort(list_distinct(list_filter(
+        |    regexp_split_to_array(text, '\s+'), t -> t <> '')))
         |    AS toks
         |  FROM documents)
         |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
@@ -1065,12 +1081,16 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS rank_depth, true AS conserved""".stripMargin,
 
     "q25_classify_stats" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS seqs_processed,
-        |  CAST(COUNT(*) FILTER (strlen(text) BETWEEN 8 AND 65542) AS BIGINT)
+      """WITH d AS (SELECT
+        |  len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |  AS nd FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS seqs_processed,
+        |  CAST(COUNT(*) FILTER (nd BETWEEN 1 AND 65535) AS BIGINT)
         |    AS seqs_classified,
-        |  CAST(COUNT(*) FILTER (strlen(text) < 8 OR strlen(text) > 65542)
-        |    AS BIGINT) AS seqs_skipped
-        |FROM documents""".stripMargin,
+        |  CAST(COUNT(*) FILTER (nd < 1 OR nd > 65535) AS BIGINT)
+        |    AS seqs_skipped
+        |FROM d""".stripMargin,
 
     "q20_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -1120,9 +1140,13 @@ object SparkEntry {
     "q33_lca" ->
       """WITH grams AS (
         |  SELECT doc_id, lang, source, lang || '/' || source AS target,
-        |    unnest(list_distinct(list_transform(range(strlen(text)-7),
-        |      i -> substr(text, CAST(i+1 AS INT), 8)))) AS g
-        |  FROM documents WHERE strlen(text) BETWEEN 8 AND 65542),
+        |    unnest(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)])) AS g
+        |  FROM documents
+        |  WHERE len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |    BETWEEN 1 AND 65535),
         |docn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
         |binset AS (SELECT target AS t2, lang AS l2, g FROM grams GROUP BY ALL),
         |hits AS (
@@ -1179,9 +1203,13 @@ object SparkEntry {
     "q37_relfilter" ->
       """WITH grams AS (
         |  SELECT doc_id, lang || '/' || source AS target,
-        |    unnest(list_distinct(list_transform(range(strlen(text)-7),
-        |      i -> substr(text, CAST(i+1 AS INT), 8)))) AS g
-        |  FROM documents WHERE strlen(text) BETWEEN 8 AND 65542),
+        |    unnest(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)])) AS g
+        |  FROM documents
+        |  WHERE len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |    BETWEEN 1 AND 65535),
         |docn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
         |binset AS (SELECT target AS t2, g FROM grams GROUP BY ALL),
         |hits AS (
@@ -1212,7 +1240,10 @@ object SparkEntry {
 
     "q22_em_reassign" ->
       """SELECT CAST(doc_id AS BIGINT) AS read_id, true AS ok
-        |FROM documents WHERE strlen(text) BETWEEN 8 AND 65542""".stripMargin,
+        |FROM documents
+        |WHERE len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |  BETWEEN 1 AND 65535""".stripMargin,
 
     "q26_ann_lsh" ->
       """SELECT vec_id AS query_id, true AS ok
@@ -1221,7 +1252,9 @@ object SparkEntry {
     "q27_cascade" ->
       """SELECT CAST(doc_id AS BIGINT) AS read_id, true AS ok
         |FROM documents
-        |WHERE doc_id % 2 = 1 AND strlen(text) BETWEEN 8 AND 65542"""
+        |WHERE doc_id % 2 = 1 AND len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |  BETWEEN 1 AND 65535"""
         .stripMargin,
 
     "q41_langid" ->
@@ -1249,7 +1282,10 @@ object SparkEntry {
 
     "q43_em_rep" ->
       """SELECT lang AS target, true AS consistent, true AS bounded
-        |FROM documents WHERE strlen(text) BETWEEN 8 AND 65542
+        |FROM documents
+        |WHERE len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |  BETWEEN 1 AND 65535
         |GROUP BY lang""".stripMargin,
 
     "q44_tre_formats" ->

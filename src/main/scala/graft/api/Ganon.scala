@@ -74,7 +74,8 @@ object Ganon {
     var tre = Report.tree(counts, lineage)
     sizes.foreach(sz => tre = Report.sizeCorrection(tre, sz))
     if (minCount > 0) {
-      val total = counts.agg(sum("direct_count")).first().getLong(0)
+      val total = counts.agg(coalesce(sum("direct_count"), lit(0L)))
+        .first().getLong(0)
       tre = Report.minCountFilter(tre, minCount, total)
     }
     if (topPercentile > 0) tre = Report.topPercentilePerRank(tre, topPercentile)

@@ -160,6 +160,20 @@ class BuildClassifySpec extends AnyFunSuite {
     assert(db1.ibf.words.sameElements(db2.ibf.words))
   }
 
+  test("checkpoint: CHANGED params invalidate the resume (no stale stitch)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    SketchBuild.build(spark, corpus, "repo", "content", params, Some(dir))
+    // same dir, different maxFp: the params fingerprint must force a
+    // recompute — a silent reuse would stitch shards sized for 0.01 into
+    // a 0.001 plan
+    val strict = params.copy(maxFp = 0.001)
+    val db2 = SketchBuild.build(spark, corpus, "repo", "content", strict,
+      Some(dir))
+    assert(db2.plan.expectedMaxFp <= strict.maxFp * 1.1)
+    assert(db2.plan.bitsPerBin >
+      SketchBuild.build(spark, corpus, "repo", "content", params).plan.bitsPerBin)
+  }
+
   test("sha256 row invariant: content never mutated through the pipeline") {
     val before = corpus.select(sha2($"content", 256).as("h"))
       .orderBy("h").collect().map(_.getString(0))

@@ -71,6 +71,14 @@ class ReportEmSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("c"))
   }
 
+  test("table: trimZeros handles node names containing dots (file basenames)") {
+    val piv = Seq(("s1", 3L, 0L), ("s2", 1L, 0L))
+      .toDF("sample", "data.txt", "empty.bin")
+    val out = Table.trimZeros(piv, Seq("data.txt", "empty.bin"))
+    assert(out.columns.toSeq == Seq("sample", "data.txt"))
+    assert(out.count() == 2)
+  }
+
   test("table: minMaxCount dual semantics — exactly 1 is a no-op (table.py:200-209)") {
     val rep = Seq(("s1", "a", 60L), ("s1", "b", 30L), ("s1", "c", 10L))
       .toDF("sample", "node", "count")
