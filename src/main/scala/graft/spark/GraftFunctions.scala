@@ -35,23 +35,14 @@ object GraftFunctions {
   /** MinHash signature of a row's shingle set — one-permutation hashing
     * with rotation densification (one mix64 per element, not numPerms). */
   def minhashSignature(hashes: Column, numPerms: Int,
-      seed: Long = Hashing.DefaultSeed): Column = {
-    val f = udf((hs: Array[Long]) =>
-      MinHash.signatureOPH(
-        if (hs == null) Array.emptyLongArray else hs, numPerms, seed))
-    f(hashes)
-  }
+      seed: Long = Hashing.DefaultSeed): Column =
+    MinhashSigExpr.col(hashes, numPerms, seed, oph = true)
 
   /** The k-independent-permutations variant (reference estimator for the
     * OPH fast path in tests). */
   def minhashSignatureKPerm(hashes: Column, numPerms: Int,
-      seed: Long = Hashing.DefaultSeed): Column = {
-    val seeds = MinHash.permSeeds(numPerms, seed)
-    val f = udf((hs: Array[Long]) =>
-      if (hs == null) MinHash.signature(Array.emptyLongArray, seeds)
-      else MinHash.signature(hs, seeds))
-    f(hashes)
-  }
+      seed: Long = Hashing.DefaultSeed): Column =
+    MinhashSigExpr.col(hashes, numPerms, seed, oph = false)
 
   /** LSH band keys for a MinHash signature. */
   def lshBandKeys(sig: Column, bands: Int): Column = {

@@ -132,3 +132,64 @@ object TokenHashesExpr {
     ExpressionUtils.column(
       TokenHashesExpr(ExpressionUtils.expression(c), seed))
 }
+
+/** MinHash signature of a hash-set column as a native expression — the
+  * q17-style dedup cost center. A Scala UDF here boxes every input hash
+  * into java.lang.Long on the way in AND every signature coordinate on
+  * the way out (numPerms x rows allocations); this reads the primitive
+  * long[] straight out of ArrayData and emits an UnsafeArrayData, staying
+  * inside whole-stage codegen. kPerm mode = the k-independent-permutation
+  * estimator (|hs| x numPerms mix64); oph = one-permutation hashing with
+  * rotation densification (one mix64 per element). */
+case class MinhashSigExpr(child: Expression, numPerms: Int, seed: Long,
+    oph: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSigExpr.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numPerms, seed, oph)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.spark.MinhashSigExpr.compute($c, $numPerms, ${seed}L, $oph)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object MinhashSigExpr {
+  import graft.core.MinHash
+
+  // perm-seed arrays are pure functions of (numPerms, seed): derive once
+  // per JVM, not once per row
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+
+  /** Static hot-loop entry, called from generated code. */
+  def compute(input: org.apache.spark.sql.catalyst.util.ArrayData,
+      numPerms: Int, seed: Long, oph: Boolean): UnsafeArrayData = {
+    val hs = input.toLongArray()
+    val sig =
+      if (oph) MinHash.signatureOPH(hs, numPerms, seed)
+      else MinHash.signature(hs, seedCache.computeIfAbsent((numPerms, seed),
+        k2 => MinHash.permSeeds(k2._1, k2._2)))
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  def col(c: Column, numPerms: Int, seed: Long, oph: Boolean): Column =
+    ExpressionUtils.column(
+      MinhashSigExpr(ExpressionUtils.expression(c), numPerms, seed, oph))
+}
