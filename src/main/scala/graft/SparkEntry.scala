@@ -329,11 +329,12 @@ object SparkEntry {
         .join(docs.select(col("doc_id").cast("long").as("doc_id"),
           sha2(col("text"), 256).as("grp")), Seq("doc_id"))
       val w = Window.partitionBy("grp")
-      val nGroups = docs.select(sha2(col("text"), 256)).distinct().count()
-      val nFps = fp.select("fingerprint").distinct().count()
+      // one driver action for the global invariant, not one per side
+      val gf = fp.agg(countDistinct(col("grp")).as("g"),
+        countDistinct(col("fingerprint")).as("f")).first()
       fp.select(col("doc_id"),
         (min(col("fingerprint")).over(w) === max(col("fingerprint")).over(w)
-          && lit(nFps == nGroups)).as("ok"))
+          && lit(gf.getLong(1) == gf.getLong(0))).as("ok"))
     }),
 
     "q20_stream_window" -> ((s, dir) => {

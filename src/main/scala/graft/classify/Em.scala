@@ -101,6 +101,12 @@ object Em {
       probs = newProbs
       iter += 1
     }
+    // sever the final iteration's broadcast dependency before destroying
+    // it (otherwise one prob-map broadcast leaks per reassign() call on a
+    // long-lived session): eager localCheckpoint materializes the
+    // assignment, so no recompute can ever dereference the destroyed value
+    if (assigned != null) assigned = assigned.localCheckpoint(true)
+    if (liveB != null) { liveB.destroy(); liveB = null }
     val result = uniques.unionByName(
       if (assigned == null)
         uniques.limit(0)

@@ -121,19 +121,19 @@ object Ann {
   def lshNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, nBits: Int = 8, tables: Int = 12,
       maxBucket: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dim = vecDim(df, vecCol)
     val sigs = (0 until tables).map(t2 => lshSignature(dim, nBits, 7L + t2 * 1000003L))
     val keyUdf = udf((v2: Array[Float]) =>
       sigs.zipWithIndex.map { case (f, t2) => t2.toLong << 32 | f(v2) }.toArray)
     val keyed = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("key", explode(keyUdf(col("vec"))))
-    val capped = keyed
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("key").orderBy("id")))
-      .filter(col("rnk") <= maxBucket)
       .select("key", "id")
-    val cand = capped.as("a").join(capped.as("b"),
+    // bucket cap via the minKIds aggregation (no window sort exchange,
+    // observable truncation) — same discipline as Dedup.minhashPairs
+    val (cappedA, cappedB) =
+      Dedup.cappedBuckets(spark, keyed, "key", maxBucket,
+        "ann_lsh_dropped_bucket_members")
+    val cand = cappedA.as("a").join(cappedB.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")

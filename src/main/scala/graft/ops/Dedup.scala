@@ -44,8 +44,6 @@ object Dedup {
   def minhashPairs(spark: SparkSession, hashSets: DataFrame, numPerms: Int,
       bands: Int, threshold: Double, maxBucket: Int = 10000,
       oph: Boolean = true): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val sigCol =
       if (oph) GraftFunctions.minhashSignature(col("hs"), numPerms)
       else GraftFunctions.minhashSignatureKPerm(col("hs"), numPerms)
@@ -56,37 +54,29 @@ object Dedup {
 
     // candidate generation carries ONLY (band, id): the hash sets join back
     // just for the surviving pairs. Mega-buckets (saturated vocab / skew)
-    // are capped at maxBucket members, bounding the worst bucket to
-    // O(maxBucket^2) pairs. Truncation is OBSERVABLE via an accumulator
-    // (salting band keys by a signature prefix would bound buckets too,
-    // but it zeroes recall for pairs whose signatures differ — capping
-    // loses only saturated-bucket members, which are near-identical and
-    // caught by exact dedup). Identical docs share identical signatures,
-    // hence identical ranks ordering by id: a J == 1 pair is only lost if
-    // the pair itself straddles the cap, i.e. a dup GROUP larger than
-    // maxBucket.
-    val dropped = spark.sparkContext.longAccumulator("lsh_dropped_bucket_members")
-    val keepOrCount = udf((rnk: Int) => {
-      val keep = rnk <= maxBucket
-      if (!keep) dropped.add(1L)
-      keep
-    }).asNondeterministic() // side effect: the optimizer must not clone it
-    val ranked = keyed
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("band").orderBy("id")))
-    // the self-join duplicates its child subtree (no exchange reuse under
-    // the window), so only side "a" runs the counting filter — side "b"
-    // applies the identical pure predicate and the accumulator counts each
-    // dropped member once (task retries can still overcount, as with any
-    // transformation-stage accumulator)
-    val cappedA = ranked.filter(keepOrCount(col("rnk"))).drop("rnk")
-    val cappedB = ranked.filter(col("rnk") <= maxBucket).drop("rnk")
+    // are capped at maxBucket members via the minKIds AGGREGATION — one
+    // partially-aggregated shuffle, no window sort exchange, and a hot band
+    // ships at most maxBucket ids per map partition. Truncation stays
+    // OBSERVABLE (salting band keys by a signature prefix would bound
+    // buckets too, but it zeroes recall for pairs whose signatures differ —
+    // capping loses only saturated-bucket members, which are
+    // near-identical and caught by exact dedup). Identical docs share
+    // identical signatures, hence identical kept-id sets: a J == 1 pair is
+    // only lost if the pair itself straddles the cap, i.e. a dup GROUP
+    // larger than maxBucket.
+    val (cappedA, cappedB) =
+      cappedBuckets(spark, keyed, "band", maxBucket,
+        "lsh_dropped_bucket_members")
     val candidates = cappedA.as("a").join(cappedB.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    val jac = udf((a: Array[Long], b: Array[Long]) => MinHash.exactJaccard(a, b))
+    // null hash sets (null text rows) carry the empty-set signature, so
+    // they bucket together; exact Jaccard treats them as the empty set
+    val jac = udf((a: Array[Long], b: Array[Long]) => MinHash.exactJaccard(
+      if (a == null) Array.emptyLongArray else a,
+      if (b == null) Array.emptyLongArray else b))
     val hsA = hashSets.select(col("id").as("doc_a"), col("hs").as("hs_a"))
     val hsB = hashSets.select(col("id").as("doc_b"), col("hs").as("hs_b"))
     candidates
@@ -96,26 +86,60 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Shared band-cap: aggregate each bucket to its maxBucket smallest ids
+    * (graft.spark.udaf.SketchAggs.MinKIdsAgg), return the exploded
+    * (keyCol, id) frame twice — side A counts dropped members into an
+    * accumulator, side B is the pure twin for the self-join (the join
+    * duplicates its child subtree, so a counting udf on both sides would
+    * double-count; task retries can still overcount, as with any
+    * transformation-stage accumulator). */
+  private[ops] def cappedBuckets(spark: SparkSession, keyed: DataFrame,
+      keyCol: String, maxBucket: Int, accName: String)
+      : (DataFrame, DataFrame) = {
+    val dropped = spark.sparkContext.longAccumulator(accName)
+    val noteDrop = udf((d: Long) => { if (d > 0) dropped.add(d); true })
+      .asNondeterministic() // side effect: the optimizer must not clone it
+    val aggd = keyed.groupBy(keyCol)
+      .agg(GraftFunctions.minKIds(col("id"), maxBucket).as("mk"))
+    val a = aggd.filter(noteDrop(col("mk.dropped")))
+      .select(col(keyCol), explode(col("mk.ids")).as("id"))
+    val b = aggd.select(col(keyCol), explode(col("mk.ids")).as("id"))
+    (a, b)
+  }
+
   /** SimHash near-dup: pairs within `maxHamming` of each other, blocked by
     * 16-bit bands of the 64-bit simhash (any pair with <= 3 differing
-    * bands shares at least one exact band — pigeonhole for maxHamming<=3). */
+    * bands shares at least one exact band — pigeonhole for maxHamming<=3).
+    * Buckets are capped at maxBucket members (same discipline and
+    * observability as [[minhashPairs]]): a popular band value (near-empty
+    * docs, boilerplate) would otherwise form a quadratic self-join cell.
+    * Identical-simhash groups share ALL four bands and identical kept-id
+    * sets, so a hamming-0 pair is only lost if its GROUP exceeds
+    * maxBucket — those members are exact-dedup territory. */
   def simhashPairs(spark: SparkSession, tokenSets: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "16-bit x4 blocking guarantees recall only for <=3")
     val sh = tokenSets
       .withColumn("simhash", GraftFunctions.simhash(col("hs")))
       .select("id", "simhash")
-    val banded = sh.select(col("id"), col("simhash"),
+    val banded = sh.select(col("id"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band_no"),
           shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*))
         .as("b"))
-    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    banded.as("x").join(banded.as("y"),
+    val (cappedA, cappedB) =
+      cappedBuckets(spark, banded, "b", maxBucket,
+        "simhash_dropped_bucket_members")
+    val cand = cappedA.as("x").join(cappedB.as("y"),
         col("x.b") === col("y.b") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("simhash").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("simhash").as("sh_b")),
+        Seq("doc_b"))
       .withColumn("hamming", ham(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -44,9 +44,12 @@ object GraftFunctions {
       seed: Long = Hashing.DefaultSeed): Column =
     MinhashSigExpr.col(hashes, numPerms, seed, oph = false)
 
-  /** LSH band keys for a MinHash signature. */
+  /** LSH band keys for a MinHash signature. Null-tolerant: a null
+    * signature (user-supplied column) yields no band keys, so the row
+    * simply never enters a bucket instead of NPE-ing the job. */
   def lshBandKeys(sig: Column, bands: Int): Column = {
-    val f = udf((s: Array[Long]) => MinHash.bandKeys(s, bands))
+    val f = udf((s: Array[Long]) =>
+      if (s == null) Array.empty[Long] else MinHash.bandKeys(s, bands))
     f(sig)
   }
 
@@ -86,6 +89,12 @@ object GraftFunctions {
     udaf(agg, agg.inputEncoder).apply(grp, base, split, hashes)
   }
 
+  /** Band-cap primitive: k smallest ids per group + dropped count
+    * (struct<ids: array<bigint>, dropped: bigint>) — see
+    * [[graft.spark.udaf.SketchAggs.MinKIdsAgg]]. */
+  def minKIds(id: Column, k: Int): Column =
+    udaf(new MinKIdsAgg(k)).apply(id)
+
   def cmsSketch(hashes: Column, depth: Int = 7, width: Int = 8192): Column =
     udaf(new CmsSketchAgg(depth, width)).apply(hashes)
 
@@ -107,17 +116,27 @@ object GraftFunctions {
   // SQL literal args arrive as whatever numeric type the parser chose
   // (42 is Int, 42L is Long): coerce instead of asInstanceOf, which would
   // throw ClassCastException on the "wrong" literal width
+  // non-foldable args (a column reference for k/seed) must fail with the
+  // intended message, not an obscure unbound-reference exception from eval
   private def evalIntArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      what: String): Int = e.eval() match {
-    case n: java.lang.Number => n.intValue()
-    case x => throw new IllegalArgumentException(
-      s"$what must be a numeric literal, got $x")
+      what: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case x => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $x")
+    }
   }
   private def evalLongArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      what: String): Long = e.eval() match {
-    case n: java.lang.Number => n.longValue()
-    case x => throw new IllegalArgumentException(
-      s"$what must be a numeric literal, got $x")
+      what: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case x => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $x")
+    }
   }
 
   /** Register the engine's functions for spark.sql use. */

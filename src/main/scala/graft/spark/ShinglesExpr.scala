@@ -145,6 +145,10 @@ case class MinhashSigExpr(child: Expression, numPerms: Int, seed: Long,
     oph: Boolean) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // a NULL hash set maps to the empty-set signature (all Long.MaxValue) —
+  // the contract of the UDFs this expression replaced, so downstream
+  // band-key generation never sees a null signature
+  override def nullable: Boolean = false
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -155,14 +159,37 @@ case class MinhashSigExpr(child: Expression, numPerms: Int, seed: Long,
           s"minhash_sig expects ARRAY<BIGINT>, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any =
-    MinhashSigExpr.compute(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      numPerms, seed, oph)
+  // perm-seed array is a pure function of (numPerms, seed): resolved once
+  // per expression instance; the per-row path must not pay a boxed-tuple
+  // map lookup inside the loop this expression exists to de-box
+  @transient private lazy val kpermSeeds: Array[Long] =
+    if (oph) null else graft.core.MinHash.permSeeds(numPerms, seed)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.spark.MinhashSigExpr.compute($c, $numPerms, ${seed}L, $oph)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinhashSigExpr.empty(numPerms)
+    else MinhashSigExpr.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numPerms, seed, oph, kpermSeeds)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val seedsRef =
+      if (oph) "(long[]) null"
+      else ctx.addReferenceObj("permSeeds", kpermSeeds, "long[]")
+    val resultCode =
+      s"""${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  ${childGen.isNull}
+         |    ? graft.spark.MinhashSigExpr.empty($numPerms)
+         |    : graft.spark.MinhashSigExpr.compute(${childGen.value},
+         |        $numPerms, ${seed}L, $oph, $seedsRef);
+         |""".stripMargin
+    ev.copy(code = code"$resultCode",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -173,19 +200,19 @@ case class MinhashSigExpr(child: Expression, numPerms: Int, seed: Long,
 object MinhashSigExpr {
   import graft.core.MinHash
 
-  // perm-seed arrays are pure functions of (numPerms, seed): derive once
-  // per JVM, not once per row
-  private val seedCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+  /** Empty-set signature (also the NULL-input result). */
+  def empty(numPerms: Int): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Array.fill(numPerms)(Long.MaxValue))
 
-  /** Static hot-loop entry, called from generated code. */
+  /** Static hot-loop entry, called from generated code; `kpermSeeds` is
+    * the instance-resolved permutation-seed array (null in oph mode). */
   def compute(input: org.apache.spark.sql.catalyst.util.ArrayData,
-      numPerms: Int, seed: Long, oph: Boolean): UnsafeArrayData = {
+      numPerms: Int, seed: Long, oph: Boolean,
+      kpermSeeds: Array[Long]): UnsafeArrayData = {
     val hs = input.toLongArray()
     val sig =
       if (oph) MinHash.signatureOPH(hs, numPerms, seed)
-      else MinHash.signature(hs, seedCache.computeIfAbsent((numPerms, seed),
-        k2 => MinHash.permSeeds(k2._1, k2._2)))
+      else MinHash.signature(hs, kpermSeeds)
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 

@@ -106,6 +106,80 @@ object SketchAggs {
     def inputEncoder: Encoder[ShardSlice] = ExpressionEncoder[ShardSlice]()
   }
 
+  /** Result of the band-cap aggregation: the group's k smallest ids plus
+    * how many members were dropped (observable truncation). */
+  final case class MinKIds(ids: Array[Long], dropped: Long)
+
+  /** Bounded max-heap buffer holding the k smallest values seen. Grows
+    * geometrically to k, so sub-cap groups (the common case) never pay the
+    * full-cap allocation during partial aggregation. */
+  final class MinKBuf(val k: Int) extends Serializable {
+    var n = 0
+    var dropped = 0L
+    var heap: Array[Long] = Array.emptyLongArray
+
+    def add(v: Long): Unit = {
+      if (n < k) {
+        if (n == heap.length)
+          heap = java.util.Arrays.copyOf(heap,
+            math.min(k, math.max(16, heap.length * 2)))
+        heap(n) = v; n += 1
+        var i = n - 1
+        while (i > 0 && heap((i - 1) / 2) < heap(i)) {
+          val p = (i - 1) / 2
+          val t = heap(p); heap(p) = heap(i); heap(i) = t
+          i = p
+        }
+      } else {
+        dropped += 1
+        if (v < heap(0)) {
+          heap(0) = v
+          var i = 0
+          var done = false
+          while (!done) {
+            val l = 2 * i + 1; val r = l + 1
+            var m = i
+            if (l < n && heap(l) > heap(m)) m = l
+            if (r < n && heap(r) > heap(m)) m = r
+            if (m == i) done = true
+            else { val t = heap(m); heap(m) = heap(i); heap(i) = t; i = m }
+          }
+        }
+      }
+    }
+
+    def mergeFrom(o: MinKBuf): MinKBuf = {
+      var i = 0
+      while (i < o.n) { add(o.heap(i)); i += 1 }
+      dropped += o.dropped
+      this
+    }
+
+    def result(): MinKIds = {
+      val out = java.util.Arrays.copyOf(heap, n)
+      java.util.Arrays.sort(out)
+      MinKIds(out, dropped)
+    }
+  }
+
+  /**
+   * "k smallest ids per group + dropped count" — the LSH band-cap
+   * primitive. Replaces a per-band `row_number()` window (a full sort
+   * exchange) with ONE partially-aggregated shuffle: a mega-bucket ships
+   * at most k ids per map partition instead of its whole membership, and
+   * truncation is an observable VALUE instead of a silent rank filter.
+   * Keeps exactly the ids `row_number().orderBy(id) <= k` kept, so cap
+   * semantics (and the J=1 identical-signature recall argument) carry over.
+   */
+  class MinKIdsAgg(k: Int) extends Aggregator[Long, MinKBuf, MinKIds] {
+    def zero: MinKBuf = new MinKBuf(k)
+    def reduce(b: MinKBuf, a: Long): MinKBuf = { b.add(a); b }
+    def merge(x: MinKBuf, y: MinKBuf): MinKBuf = x.mergeFrom(y)
+    def finish(b: MinKBuf): MinKIds = b.result()
+    def bufferEncoder: Encoder[MinKBuf] = Encoders.kryo[MinKBuf]
+    def outputEncoder: Encoder[MinKIds] = ExpressionEncoder[MinKIds]()
+  }
+
   /** Count-min over hash multisets (each array element counts once). */
   class CmsSketchAgg(depth: Int, width: Int)
       extends Aggregator[Array[Long], CountMin, Array[Byte]] {

@@ -36,6 +36,45 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedup.minhash: null hash-set rows dedup together, no crash") {
+    // null text -> null token-hash array -> empty-set signature (the old
+    // UDF contract the MinhashSigExpr must preserve); the two null rows
+    // are mutual exact duplicates (J(empty,empty) = 1)
+    val df = Seq((1L, Option("alpha beta gamma")), (2L, None), (3L, None))
+      .toDF("id", "text")
+      .select($"id", GraftFunctions.tokenHashes($"text").as("hs"))
+    val pairs = Dedup.minhashPairs(spark, df, numPerms = 128, bands = 32,
+      threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
+  test("dedup.minhash: mega-bucket capped to the k smallest ids") {
+    // 40 identical docs, cap 10: kept members are ids 0..9 (minKIds keeps
+    // the smallest, matching the old row_number-over-id semantics); all
+    // C(10,2) pairs among them emitted, nothing quadratic beyond the cap
+    val text = (0 until 30).map(i => s"w$i").mkString(" ")
+    val df = (0 until 40).map(i => (i.toLong, text)).toDF("id", "text")
+      .select($"id", GraftFunctions.tokenHashes($"text").as("hs"))
+    val pairs = Dedup.minhashPairs(spark, df, numPerms = 128, bands = 8,
+      threshold = 1.0, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for { a <- 0 until 10; b <- a + 1 until 10 }
+      yield (a.toLong, b.toLong)).toSet
+    assert(pairs == want, s"got ${pairs.size} expect ${want.size}")
+  }
+
+  test("dedup.simhash: mega-bucket capped to the k smallest ids") {
+    val text = (0 until 30).map(i => s"w$i").mkString(" ")
+    val df = (0 until 40).map(i => (i.toLong, text)).toDF("id", "text")
+      .select($"id", GraftFunctions.tokenHashes($"text").as("hs"))
+    val pairs = Dedup.simhashPairs(spark, df, maxHamming = 0, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for { a <- 0 until 10; b <- a + 1 until 10 }
+      yield (a.toLong, b.toLong)).toSet
+    assert(pairs == want, s"got ${pairs.size} expect ${want.size}")
+  }
+
   test("dedup.simhash: identical docs collide, unrelated don't pass") {
     val a = (0 until 80).map(i => s"tok$i").mkString(" ")
     val b = (200 until 280).map(i => s"tok$i").mkString(" ")
