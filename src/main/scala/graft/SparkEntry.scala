@@ -438,20 +438,26 @@ object SparkEntry {
     }),
 
     "q27_cascade" -> ((s, dir) => {
-      // hierarchy cascade: level 1 = source bins from EVEN docs (strict
-      // cutoff; odd docs may miss), level 2 = lang bins from ALL docs
-      // (zero-FN -> every eligible odd doc classifies). Oracle-checkable
-      // invariants: each eligible read appears EXACTLY once across levels
-      // with a non-null assignment (disjoint level membership + coverage)
+      // hierarchy cascade with PER-LEVEL params (GanonClassify.cpp:353-401
+      // per-hierarchy config): level 1 = source bins from EVEN docs under a
+      // STRICT regime (cutoff 0.6, rel-filter 0.1, tight fpr; odd docs may
+      // miss), level 2 = lang bins from ALL docs under a LOOSE regime
+      // (cutoff 0.25, keep-all filter, fpr off) whose zero-FN own-bin
+      // containment guarantees every eligible odd doc classifies.
+      // Oracle-checkable invariants: each eligible read appears EXACTLY
+      // once across levels with a non-null assignment
       val docs = t(s, dir, "documents")
       val build1 = docs.filter(col("doc_id") % 2 === 0)
       val query = docs.filter(col("doc_id") % 2 === 1)
       val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
       val lvl1 = SketchBuild.build(s, build1, "source", "text", p)
       val lvl2 = SketchBuild.build(s, docs, "lang", "text", p)
-      val out = Classify.cascade(s, query, "doc_id", "text",
-        Seq(("1_source", lvl1), ("2_lang", lvl2)),
-        ClassifyParams(relCutoff = 0.6))
+      val out = Classify.cascadePerLevel(s, query, "doc_id", "text",
+        Seq(
+          ("1_source", lvl1,
+            ClassifyParams(relCutoff = 0.6, relFilter = 0.1, fprQuery = 1e-9)),
+          ("2_lang", lvl2,
+            ClassifyParams(relCutoff = 0.25, relFilter = 1.0, fprQuery = 1.0))))
       out.groupBy("read_id").agg(
         (count(lit(1)) === 1 &&
           min(col("assignment").isNotNull) === true).as("ok"))
@@ -873,6 +879,127 @@ object SparkEntry {
           (col("n_reads") === col("n_rows") &&
             abs(col("est") - col("n_hash")) <=
               greatest(col("n_hash") * bound, lit(1.0))).as("ok"))
+    }),
+
+    "q47_build_store" -> ((s, dir) => {
+      // build-direct-to-store: shard blobs written from executors, driver
+      // bounded by coarse + metadata; the returned lazy db must classify
+      // identically to the in-memory flat build (same plan, same bits)
+      val docs = t(s, dir, "documents").cache()
+      val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
+      val cp = ClassifyParams(relCutoff = 0.25)
+      val dir2 = s"/tmp/graft_q47_${math.abs(dir.hashCode)}"
+      val lazyDb = SketchBuild.buildToStore(s, docs, "source", "text", dir2, p)
+      val flat = SketchBuild.build(s, docs, "source", "text", p)
+      val a = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", lazyDb, cp)).withColumn("u", lit(1))
+      val b = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", flat, cp)).withColumn("f", lit(1))
+      val mism = a.join(b, Seq("read_id", "target", "kmer_count"), "full_outer")
+        .filter(col("u").isNull || col("f").isNull)
+        .groupBy("read_id").agg(count(lit(1)).as("bad"))
+      docs.select(col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("bad").isNull.as("ok"))
+    }),
+
+    "q48_embed_lsh_dups" -> ((s, dir) => {
+      // the 100 TB embedding-dedup SCALE path (bucketed LSH + exact-cosine
+      // verify, never all-pairs): plant an exact duplicate of every vector;
+      // identical vectors share every table signature, so each planted pair
+      // is a candidate with probability 1 and survives the cosine>=0.95
+      // verify at cosine 1.0 — found deterministically (q31 stays the
+      // exact-semantics witness for the all-pairs threshold query)
+      val emb = t(s, dir, "embeddings")
+      val offset = 1000000L
+      val base = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      val corpus = base.unionByName(base.select(
+        (col("vec_id") + offset).as("vec_id"), col("embedding")))
+      val pairs = Ann.lshNearDupPairs(s, corpus, "vec_id", "embedding", 0.95)
+      base.select(col("vec_id"))
+        .join(pairs, col("vec_id") === col("id_a") &&
+          col("id_b") === col("vec_id") + offset, "left")
+        .select(col("vec_id"), col("id_b").isNotNull.as("ok"))
+    }),
+
+    "q49_multisample" -> ((s, dir) => {
+      // multi-sample pipeline: ONE classify job carries the sample prefix
+      // through to per-sample .rep rows (GanonClassify.cpp:289-351,
+      // :834-863); full SQL oracle reproduces matches/unique/lca per
+      // (sample, target) from exact 8-gram counts
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) >= 8)
+      val binned = docs
+        .withColumn("target", concat(col("lang"), lit("/"), col("source")))
+        .withColumn("sample", concat(lit("s"), col("doc_id") % 3))
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-6)
+      val db = SketchBuild.build(s, binned, "target", "text", p)
+      val res = Classify.classifyBySample(s, binned, "sample", "doc_id",
+        "text", db,
+        ClassifyParams(relCutoff = 0.8, relFilter = 1.0, fprQuery = 1.0))
+      Classify.reportBySample(res)
+        .select(col("sample"), col("target"), col("matches"),
+          col("unique_reads"), col("lca_reads"))
+    }),
+
+    "q50_update_twolevel" -> ((s, dir) => {
+      // ganon-update on the STORED two-level layout: only touched shard
+      // blobs rewritten (O(delta)); classification must equal a fresh
+      // build of the final target set (full-containment cutoff + tiny
+      // maxFp make the check FP-immune, as in q34)
+      val docs = t(s, dir, "documents").cache()
+      val sources = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0))
+      val addSrc = sources.head
+      val rmSrc = sources.last
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+      val dir2 = s"/tmp/graft_q50_${math.abs(dir.hashCode)}"
+      SketchBuild.buildToStore(s, docs.filter(col("source") =!= addSrc),
+        "source", "text", dir2, p)
+      val updated = SketchBuild.updateStored(s, dir2,
+        docs.filter(col("source") === addSrc), "source", "text",
+        removeTargets = Seq(rmSrc))
+      val fresh = SketchBuild.build(s, docs.filter(col("source") =!= rmSrc),
+        "source", "text", p)
+      val cp = ClassifyParams(relCutoff = 1.0, fprQuery = 1.0)
+      val a = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", updated, cp)).withColumn("u", lit(1))
+      val b = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", fresh, cp)).withColumn("f", lit(1))
+      val mism = a.join(b, Seq("read_id", "target"), "full_outer")
+        .filter(col("u").isNull || col("f").isNull)
+        .groupBy("read_id").agg(count(lit(1)).as("bad"))
+      docs.select(col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("bad").isNull.as("ok"))
+    }),
+
+    "q51_paired" -> ((s, dir) => {
+      // paired-read classify (GanonClassify.cpp:695-700; reference test
+      // GanonClassify.test.cpp:319-336): mates = adjacent halves of the
+      // text, the read's hash set is their distinct UNION, and the oracle
+      // reproduces n_hashes byte-exactly as the union of both halves'
+      // 8-gram sets (halves' grams are subsets of the full text's, so the
+      // own lang bin contains every union gram -> hit_own iff not skipped)
+      val docs = t(s, dir, "documents")
+      val paired = docs.select(col("doc_id"), col("lang"),
+        expr("substring(text, 1, cast(length(text)/2 as int))").as("t1"),
+        expr("substring(text, cast(length(text)/2 as int) + 1, length(text))")
+          .as("t2"))
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-6)
+      val db = SketchBuild.build(s, docs, "lang", "text", p)
+      val res = Classify.classifyPaired(s, paired, "doc_id", "t1", "t2", db,
+        ClassifyParams(relCutoff = 1.0, relFilter = 1.0, fprQuery = 1.0))
+      val docLang = docs.select(col("doc_id").cast("string").as("read_id"),
+        col("lang"))
+      res.toDF().join(docLang, Seq("read_id"))
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("n_hashes").cast("long").as("n_hashes"),
+          exists(col("matches"),
+            m => m.getField("target") === col("lang")).as("hit_own"))
     }),
 
     "q45_simhash_pairs" -> ((s, dir) => {
@@ -1309,6 +1436,90 @@ object SparkEntry {
 
     "q46_stream_state" ->
       """SELECT event_type AS target, COUNT(*) AS n_rows, true AS ok
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q47_build_store" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q48_embed_lsh_dups" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS ok
+        |FROM embeddings""".stripMargin,
+
+    // exact replay of the engine's multi-sample rel-cutoff classify on
+    // 8-gram counts: matches = surviving (read, target) rows; unique =
+    // reads with exactly one survivor; lca column counts multi-match reads
+    // per ASSIGNED target — with no taxonomy the engine assigns
+    // maxBy(count, target), i.e. highest count, ties to the LEXICALLY
+    // GREATEST target (Scala tuple max), reproduced by the window sort
+    "q49_multisample" ->
+      """WITH grams AS (
+        |  SELECT doc_id, 's' || (doc_id % 3) AS sample,
+        |    lang || '/' || source AS target,
+        |    unnest(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)])) AS g
+        |  FROM documents
+        |  WHERE len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |    BETWEEN 1 AND 65535),
+        |docn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        |binset AS (SELECT target AS t2, g FROM grams GROUP BY ALL),
+        |hits AS (
+        |  SELECT gr.doc_id, ANY_VALUE(gr.sample) AS sample, b.t2,
+        |    COUNT(*) AS c
+        |  FROM grams gr JOIN binset b ON gr.g = b.g
+        |  GROUP BY gr.doc_id, b.t2),
+        |surv AS (
+        |  SELECT h.doc_id, h.sample, h.t2, h.c
+        |  FROM hits h JOIN docn d USING (doc_id)
+        |  WHERE h.c >= GREATEST(1, CEIL(d.n * 0.8))),
+        |nsurv AS (SELECT doc_id, COUNT(*) AS ns FROM surv GROUP BY 1),
+        |m AS (SELECT sample, t2, CAST(COUNT(*) AS BIGINT) AS matches
+        |      FROM surv GROUP BY 1, 2),
+        |uniq AS (
+        |  SELECT s.sample, s.t2, CAST(COUNT(*) AS BIGINT) AS unique_reads
+        |  FROM surv s JOIN nsurv USING (doc_id) WHERE ns = 1 GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT sample, t2 FROM (
+        |    SELECT s.sample, s.t2, row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY s.c DESC, s.t2 DESC) AS rn
+        |    FROM surv s JOIN nsurv USING (doc_id) WHERE ns > 1)
+        |  WHERE rn = 1),
+        |lca AS (SELECT sample, t2, CAST(COUNT(*) AS BIGINT) AS lca_reads
+        |        FROM assigned GROUP BY 1, 2)
+        |SELECT m.sample, m.t2 AS target, m.matches,
+        |  COALESCE(u.unique_reads, 0) AS unique_reads,
+        |  COALESCE(l.lca_reads, 0) AS lca_reads
+        |FROM m
+        |LEFT JOIN uniq u ON m.sample = u.sample AND m.t2 = u.t2
+        |LEFT JOIN lca l ON m.sample = l.sample AND m.t2 = l.t2""".stripMargin,
+
+    "q50_update_twolevel" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    // n_hashes must equal the distinct union of BOTH halves' byte-8-grams
+    // (boundary-crossing grams of the full text are absent from both);
+    // hit_own iff the union is in the classifiable range [1, 65535]
+    "q51_paired" ->
+      """WITH halves AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, CAST(floor(length(text)/2) AS INTEGER)) AS t1,
+        |    substr(text, CAST(floor(length(text)/2) AS INTEGER) + 1,
+        |      length(text)) AS t2
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(list_distinct(
+        |    [substr(hex(encode(t1)), 2*i - 1, 16)
+        |      for i in generate_series(1, CAST(strlen(t1) AS BIGINT) - 7)] ||
+        |    [substr(hex(encode(t2)), 2*i - 1, 16)
+        |      for i in generate_series(1, CAST(strlen(t2) AS BIGINT) - 7)]))
+        |    AS nd
+        |  FROM halves)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(nd AS BIGINT) AS n_hashes,
+        |  (nd BETWEEN 1 AND 65535) AS hit_own
+        |FROM g""".stripMargin
   )
 }

@@ -446,12 +446,12 @@ object SketchBuild {
       cards.map(_._2).toArray, layout, p, thePlan)
   }
 
-  /** The shared two-pass pipeline; returns one row per 64-bin group:
-    * (grp, shardBytes, coarseBytes|null). */
-  private def buildShards(spark: SparkSession, df: DataFrame,
+  /** The shared two-pass pipeline with the pass-2 result left DISTRIBUTED:
+    * one row per touched 64-bin group (grp, shard[, coarse]). */
+  private def planAndShard(spark: SparkSession, df: DataFrame,
       targetCol: String, contentCol: String, p: IbfParams,
       checkpointDir: Option[String], twoLevel: Boolean)
-      : (Seq[(String, Long)], IbfPlan, BinLayout, Array[(Int, Array[Byte], Array[Byte])]) = {
+      : (Seq[(String, Long)], IbfPlan, BinLayout, DataFrame) = {
     import spark.implicits._
 
     // ---- pass 1 (or resume) ----
@@ -464,7 +464,13 @@ object SketchBuild {
     val (thePlan, layout) = plan(cards, p)
 
     // coarse sizing (two-level): each group's union is at most the sum of
-    // the full hash sets of the targets touching it (span superset)
+    // the full hash sets of the targets touching it (span superset).
+    // The coarse filter runs at a LOOSER fp than the fine bins: a coarse
+    // false positive only inflates a group's count (an extra shard probe,
+    // pruning stays lossless — counts are upper bounds either way), never
+    // a result FP — so paying the fine fp's bits/element here would buy
+    // nothing. At 0.05 the resident top level costs ~6.2 bits/element vs
+    // 14.4 at 0.001 — the broadcast shrinks ~2.3x for free.
     val (coarseBits, coarseH) = if (twoLevel) {
       val groupLoad = new Array[Long](layout.numGroups)
       cards.indices.foreach { t =>
@@ -473,7 +479,8 @@ object SketchBuild {
         (g0 to g1).foreach(g => groupLoad(g) += cards(t)._2)
       }
       val maxN = math.max(1L, (groupLoad.max * 1.05).toLong)
-      val m = Bloom.optimalBits(maxN, p.maxFp)
+      val coarseFp = math.max(0.05, p.maxFp)
+      val m = Bloom.optimalBits(maxN, coarseFp)
       (m, math.min(16, Bloom.optimalHashes(m, maxN)))
     } else (64L, 1)
 
@@ -485,11 +492,88 @@ object SketchBuild {
       shardPass(spark, df, targetCol, contentCol, p, thePlan, entries,
         layout.numGroups, coarseBits, coarseH, twoLevel)
     }
+    (cards, thePlan, layout, binsDf)
+  }
+
+  /** In-memory variant: collect the (small) shard rows to the driver. */
+  private def buildShards(spark: SparkSession, df: DataFrame,
+      targetCol: String, contentCol: String, p: IbfParams,
+      checkpointDir: Option[String], twoLevel: Boolean)
+      : (Seq[(String, Long)], IbfPlan, BinLayout, Array[(Int, Array[Byte], Array[Byte])]) = {
+    val (cards, thePlan, layout, binsDf) =
+      planAndShard(spark, df, targetCol, contentCol, p, checkpointDir, twoLevel)
     val shardRows = binsDf.collect().map { r =>
       (r.getInt(0), r.getAs[Array[Byte]]("shard"),
         if (twoLevel) r.getAs[Array[Byte]]("coarse") else null)
     }
     (cards, thePlan, layout, shardRows)
+  }
+
+  /**
+   * Build DIRECTLY into the sketch store with driver memory bounded by
+   * coarse + metadata: each 64-bin group's shard blob is written to
+   * `dir/shards/grp_<g>.bin` straight from the executor that aggregated it
+   * (the Spark shape of the reference's stream-to-disk filter save,
+   * GanonBuild.cpp:251-288 — at its published 299-501 GB database scale,
+   * docs/default_databases.md:29-76, a driver-resident assembly would OOM);
+   * only the per-group COARSE blobs (the broadcast working set) return to
+   * the driver. The manifest is written last, so a partially-written store
+   * is never loadable. Returns the lazy db over the store just written —
+   * no Array[InterleavedBloom] ever materializes on the driver.
+   */
+  def buildToStore(spark: SparkSession, df: DataFrame, targetCol: String,
+      contentCol: String, dir: String, p: IbfParams = IbfParams(),
+      checkpointDir: Option[String] = None): LazyTwoLevelDb = {
+    import spark.implicits._
+    val (cards, thePlan, layout, binsDf) =
+      planAndShard(spark, df, targetCol, contentCol, p, checkpointDir,
+        twoLevel = true)
+    val numBins = layout.numBins
+    val nGroups = layout.numGroups
+    val bitsPerBin = thePlan.bitsPerBin
+    val numHashes = thePlan.numHashes
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val shardDir = s"$dir/shards"
+    // clear stale blobs: a leftover grp_<g>.bin from an earlier, larger
+    // layout would be invisible now but could get OR-merged by a later
+    // updateStored that re-extends into that group number
+    val shardPath = new org.apache.hadoop.fs.Path(shardDir)
+    val fs0 = shardPath.getFileSystem(conf.value)
+    if (fs0.exists(shardPath)) fs0.delete(shardPath, true)
+    // ONE action: write each group's (re-windowed) shard blob executor-side,
+    // return only (grp, coarseBlob) — the driver-bounded metadata
+    val coarseRows = binsDf
+      .select(col("grp"), col("shard"), col("coarse"))
+      .as[(Int, Array[Byte], Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (g, blob, coarseBlob) =>
+          val full = InterleavedBloom.fromBytes(blob)
+          val nLocal = math.min(64, numBins - g * 64)
+          val windowed = new InterleavedBloom(nLocal, full.bitsPerBin,
+            full.numHashes, full.words)
+          graft.io.SketchStore.writeShardBlob(conf.value, shardDir, g,
+            windowed.toBytes)
+          (g, coarseBlob)
+        }
+      }.collect()
+    // empty blobs for untouched groups (all-empty/filtered content): coarse
+    // pruning never fetches them, but the eager loadAny path reads each
+    val present = coarseRows.map(_._1).toSet
+    (0 until nGroups).filterNot(present).foreach { g =>
+      val nLocal = math.min(64, numBins - g * 64)
+      graft.io.SketchStore.writeShardBlob(conf.value, shardDir, g,
+        InterleavedBloom.empty(nLocal, bitsPerBin, numHashes).toBytes)
+    }
+    val coarse =
+      if (coarseRows.nonEmpty)
+        InterleavedBloom.fromBins(
+          coarseRows.toSeq.map { case (g, cb) => (g, Bloom.fromBytes(cb)) },
+          nGroups)
+      else InterleavedBloom.empty(nGroups, 64L, 1)
+    val db = new LazyTwoLevelDb(coarse, cards.map(_._1).toArray,
+      cards.map(_._2).toArray, layout, p, thePlan, shardDir, conf)
+    graft.io.SketchStore.writeManifest(spark, db, "two", coarse.toBytes, dir)
+    db
   }
 
   /** The routed shard aggregation over `df` for the given bin-map entries
@@ -661,6 +745,164 @@ object SketchBuild {
       db.plan.numHashes)
     new SketchDb(ibf, targets, counts, layout, p,
       db.plan.copy(numBins = nextBin, expectedMaxFp = maxFpReal))
+  }
+
+  /**
+   * Incremental update of a STORED two-level db — the O(delta) case the
+   * shard layout was built for (`ganon update` on the layout you actually
+   * run at scale; reference src/ganon/build_update.py:157): only the
+   * 64-bin groups touched by added/removed targets have their
+   * `grp_<g>.bin` blobs rewritten; untouched shards are never read.
+   *
+   * Same frozen-plan semantics as [[update]]: new targets get fresh bins
+   * appended (split at the planned capacity), removed targets' bin columns
+   * are zeroed in their shard blobs, existing targets' new content routes
+   * into their existing bins. Removal cannot delete from the COARSE filter
+   * (a Bloom has no removal) — coarse counts stay an upper bound, so
+   * pruning remains lossless and removed groups are merely probed once
+   * before their zeroed fine bins report nothing.
+   *
+   * Work split: removal masking is driver-side, one blob at a time
+   * (O(removed-targets' groups), bounded by one group blob of memory);
+   * the delta aggregation is distributed and each touched group's
+   * OR-merge + rewrite happens on the executor that aggregated it.
+   * The manifest is rewritten last.
+   */
+  def updateStored(spark: SparkSession, dir: String, addDf: DataFrame,
+      targetCol: String, contentCol: String,
+      removeTargets: Seq[String] = Nil): LazyTwoLevelDb = {
+    import spark.implicits._
+    val db0 = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    val p = db0.params
+    val removeSet = removeTargets.toSet
+    val unknown = removeSet.filterNot(db0.targetIndex.contains)
+    require(unknown.isEmpty,
+      s"removeTargets not in the db: ${unknown.toSeq.sorted.mkString(", ")}")
+
+    // pass 1 on the delta only
+    val addCards =
+      if (addDf == null) Seq.empty[(String, Long)]
+      else targetCardinalities(addDf, targetCol, contentCol, p)
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val (existingAdds, newAdds) =
+      addCards.partition(c => db0.targetIndex.contains(c._1))
+    require(addCards.forall(c => !removeSet.contains(c._1)),
+      "cannot add and remove the same target")
+
+    // frozen-plan layout append (bases of survivors untouched; removed
+    // targets' bins stay allocated as masked holes)
+    val survivors = db0.targets.indices.filterNot(i => removeSet(db0.targets(i)))
+    var nextBin = db0.layout.numBins
+    val newEntries = newAdds.map { case (t, c) =>
+      val split = math.max(1L, (math.max(1L, c) + db0.plan.maxHashesBin - 1) /
+        db0.plan.maxHashesBin).toInt
+      val e = (t, nextBin, split)
+      nextBin += split
+      e
+    }
+    val targets =
+      (survivors.map(db0.targets) ++ newAdds.map(_._1)).toArray
+    val addByTarget = existingAdds.toMap
+    val counts =
+      (survivors.map(i => db0.targetHashes(i) +
+        addByTarget.getOrElse(db0.targets(i), 0L)) ++ newAdds.map(_._2)).toArray
+    val bases =
+      (survivors.map(db0.layout.base) ++ newEntries.map(_._2)).toArray
+    val splits =
+      (survivors.map(db0.layout.split) ++ newEntries.map(_._3)).toArray
+    val layout = BinLayout(bases, splits, nextBin)
+    val nGroupsNew = layout.numGroups
+    val shardDir = s"$dir/shards"
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    // 1. removal: zero the removed targets' bin columns in their groups'
+    //    blobs — masking only, no re-aggregation, one blob resident at a time
+    removeSet.toSeq.sorted.foreach { t =>
+      val i = db0.targetIndex(t)
+      val b0 = db0.layout.base(i)
+      val b1 = b0 + db0.layout.split(i)
+      (b0 / 64 to (b1 - 1) / 64).foreach { g =>
+        graft.io.SketchStore.readShardBlob(hconf, shardDir, g).foreach { sh =>
+          sh.zeroBins(math.max(0, b0 - g * 64),
+            math.min(sh.numBins, b1 - g * 64))
+          graft.io.SketchStore.writeShardBlob(hconf, shardDir, g, sh.toBytes)
+        }
+      }
+    }
+
+    // 2. additions: shard-aggregate the delta, OR each touched group's blob
+    //    executor-side; only coarse deltas return to the driver
+    val numBinsNew = nextBin
+    val bitsPerBin = db0.plan.bitsPerBin
+    val coarseBits = db0.coarse.bitsPerBin
+    val coarseH = db0.coarse.numHashes
+    val touchedCoarse: Array[(Int, Array[Byte])] =
+      if (addDf != null && addCards.nonEmpty) {
+        val entries = existingAdds.map { case (t, _) =>
+          val i = db0.targetIndex(t)
+          (t, db0.layout.base(i), db0.layout.split(i))
+        } ++ newEntries
+        shardPass(spark, addDf, targetCol, contentCol, p, db0.plan, entries,
+          nGroupsNew, coarseBits, coarseH, twoLevel = true)
+          .select(col("grp"), col("shard"), col("coarse"))
+          .as[(Int, Array[Byte], Array[Byte])]
+          .mapPartitions { iter =>
+            iter.map { case (g, blob, coarseBlob) =>
+              val delta = InterleavedBloom.fromBytes(blob)
+              val nLocal = math.min(64, numBinsNew - g * 64)
+              // <=64-bin shards always carry bitsPerBin words, so widening
+              // the group's bin count (appends extending the last old
+              // group) is a pure header change
+              graft.io.SketchStore.readShardBlob(conf.value, shardDir, g)
+                .foreach { old =>
+                  var i = 0
+                  while (i < delta.words.length) {
+                    delta.words(i) |= old.words(i); i += 1
+                  }
+                }
+              graft.io.SketchStore.writeShardBlob(conf.value, shardDir, g,
+                new InterleavedBloom(nLocal, delta.bitsPerBin,
+                  delta.numHashes, delta.words).toBytes)
+              (g, coarseBlob)
+            }
+          }.collect()
+      } else Array.empty
+
+    // 3. coarse: re-stride to the (possibly wider) new group count, OR in
+    //    the touched groups' delta unions
+    val coarseNew = restride(db0.coarse, nGroupsNew)
+    touchedCoarse.foreach { case (g, cb) =>
+      coarseNew.orBin(g, Bloom.fromBytes(cb))
+    }
+
+    // 4. manifest rewrite LAST
+    val (maxFpReal, _) = Sizing.trueFalsePositive(
+      counts.map(math.max(1L, _)), db0.plan.maxHashesBin, bitsPerBin,
+      db0.plan.numHashes)
+    val db = new LazyTwoLevelDb(coarseNew, targets, counts, layout, p,
+      db0.plan.copy(numBins = nextBin, expectedMaxFp = maxFpReal),
+      shardDir, conf)
+    graft.io.SketchStore.writeManifest(spark, db, "two", coarseNew.toBytes, dir)
+    db
+  }
+
+  /** Copy an interleaved filter into a wider bin space (same bitsPerBin,
+    * bin columns preserved; new columns zero). */
+  private def restride(src: InterleavedBloom, newNumBins: Int): InterleavedBloom = {
+    val out = InterleavedBloom.empty(newNumBins, src.bitsPerBin, src.numHashes)
+    val wOld = src.wordsPerRow
+    val wNew = out.wordsPerRow
+    var pos = 0L
+    while (pos < src.bitsPerBin) {
+      var g = 0
+      while (g < wOld) {
+        out.words((pos * wNew + g).toInt) = src.words((pos * wOld + g).toInt)
+        g += 1
+      }
+      pos += 1
+    }
+    out
   }
 
   /** Resume guard: a checkpoint is only valid for the PARAMS that produced

@@ -51,25 +51,58 @@ object Classify {
       contentCol: String, db: ProbeDb, cp: ClassifyParams = ClassifyParams(),
       lcaOpt: Option[Lca] = None): Dataset[ReadResult] = {
     import spark.implicits._
-    val dbB = spark.sparkContext.broadcast(db)
-    val lcaB = spark.sparkContext.broadcast(lcaOpt)
-
     // shingles run inside whole-stage codegen (native expression); the
     // probe mapPartitions receives primitive long[] — no boxing anywhere
     val shExpr = graft.spark.ShinglesExpr.col(
       coalesce(col(contentCol), lit("")), db.params.k, db.params.w, db.params.seed)
-    reads
+    classifyHashed(spark, reads
       .select(col(idCol).cast("string").as("read_id"),
         coalesce(octet_length(col(contentCol)), lit(0)).as("len"), shExpr.as("hs"))
-      .as[(String, Int, Array[Long])]
-      .mapPartitions { iter =>
-        val d = dbB.value
-        val lca = lcaB.value
-        val counts = new Array[Int](d.targets.length)
-        iter.map { case (id, len, hs) =>
-          classifyOne(id, len, hs, d, cp, lca, counts)
-        }
+      .as[(String, Int, Array[Long])], db, cp, lcaOpt)
+  }
+
+  /**
+   * Paired-read classify (GanonClassify.cpp:695-700; reference test
+   * GanonClassify.test.cpp:319-336): both mates hash independently, the
+   * read's minimizer set is the distinct UNION, and every threshold
+   * (rel-cutoff n_hashes, counter-overflow skip) applies to that union.
+   * `len` is the combined byte length: a pair too short for any shingle
+   * falls through to the n_hashes == 0 skip, matching the reference's
+   * per-mate window rule.
+   */
+  def classifyPaired(spark: SparkSession, reads: DataFrame, idCol: String,
+      content1Col: String, content2Col: String, db: ProbeDb,
+      cp: ClassifyParams = ClassifyParams(),
+      lcaOpt: Option[Lca] = None): Dataset[ReadResult] = {
+    import spark.implicits._
+    val p = db.params
+    val hsCol = graft.spark.GraftFunctions.pairedShingles(
+      coalesce(col(content1Col), lit("")), coalesce(col(content2Col), lit("")),
+      p.k, p.w, p.seed)
+    classifyHashed(spark, reads
+      .select(col(idCol).cast("string").as("read_id"),
+        (coalesce(octet_length(col(content1Col)), lit(0)) +
+          coalesce(octet_length(col(content2Col)), lit(0))).as("len"),
+        hsCol.as("hs"))
+      .as[(String, Int, Array[Long])], db, cp, lcaOpt)
+  }
+
+  /** Shared probe stage over precomputed (read_id, byte-len, shingle set)
+    * rows — the single- and paired-read projections both feed this. */
+  private[graft] def classifyHashed(spark: SparkSession,
+      hashed: Dataset[(String, Int, Array[Long])], db: ProbeDb,
+      cp: ClassifyParams, lcaOpt: Option[Lca]): Dataset[ReadResult] = {
+    import spark.implicits._
+    val dbB = spark.sparkContext.broadcast(db)
+    val lcaB = spark.sparkContext.broadcast(lcaOpt)
+    hashed.mapPartitions { iter =>
+      val d = dbB.value
+      val lca = lcaB.value
+      val counts = new Array[Int](d.targets.length)
+      iter.map { case (id, len, hs) =>
+        classifyOne(id, len, hs, d, cp, lca, counts)
       }
+    }
   }
 
   private[classify] def classifyOne(id: String, contentLen: Int,
@@ -138,12 +171,16 @@ object Classify {
     }
   }
 
-  /** `.all` relation: (read_id, target, kmer_count) — GanonClassify.cpp:1289-1306. */
+  /** `.all` relation: (read_id, target, kmer_count, match_order) —
+    * GanonClassify.cpp:1289-1306. `match_order` is the position of the
+    * match in the read's match list (the reference's bin order), carried
+    * so EM can reproduce the FIRST-LISTED tie-break (reassign.py:227-241)
+    * instead of inventing an order Spark rows don't have. */
   def allMatches(results: Dataset[ReadResult]): DataFrame = {
     results.toDF()
-      .select(col("read_id"), explode(col("matches")).as("m"))
+      .select(col("read_id"), posexplode(col("matches")).as(Seq("ord", "m")))
       .select(col("read_id"), col("m.target").as("target"),
-        col("m.count").as("kmer_count"))
+        col("m.count").as("kmer_count"), col("ord").as("match_order"))
   }
 
   /** `.one` relation: the resolved per-read assignment. */
@@ -189,31 +226,41 @@ object Classify {
       coalesce(round(avg(size(col("matches"))), 4), lit(0.0)).as("avg_matches_per_seq"))
   }
 
+  // sums over ZERO rows are SQL null — coalesce to 0 so an empty input
+  // yields the reference's all-zero .sta row, not nulls (:1199 writes 0s)
+  private def zsum(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
+
+  /** The nine .sta aggregates, shared by the single-run and per-sample
+    * variants. */
+  private def staAggCols: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("seq_processed"),
+    zsum(when(col("assignment").isNotNull, 1L).otherwise(0L)).as("seq_classified"),
+    zsum(when(col("unique"), 1L).otherwise(0L)).as("seq_unique_matches"),
+    coalesce(sum(size(col("matches"))).cast("long"), lit(0L)).as("matches"),
+    zsum(col("discarded_filter").cast("long")).as("dis_matches_rel_filter"),
+    zsum(col("discarded_fpr").cast("long")).as("dis_matches_fpr_query"),
+    zsum(col("n_hashes").cast("long")).as("kmers_proccessed"),
+    zsum(when(col("assignment").isNotNull, col("n_hashes").cast("long"))
+      .otherwise(0L)).as("kmers_from_classified_seqs"),
+    zsum(aggregate(col("matches"), lit(0L),
+      (acc, m) => acc + m.getField("count"))).as("kmers_matched"))
+
   /** Full 18-column `.sta` row (GanonClassify.cpp:1130-1218
     * write_stats_db/write_stats): per (prefix, hierarchy_label) statistics
     * with the reference's exact column names and percentage semantics.
     * One aggregation pass. */
   def staReport(results: Dataset[ReadResult], prefix: String = "sample",
-      hierarchyLabel: String = "1"): DataFrame = {
-    // sums over ZERO rows are SQL null — coalesce to 0 so an empty input
-    // yields the reference's all-zero .sta row, not nulls (:1199 writes 0s)
-    def zsum(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
-    val agg = results.toDF().agg(
-      count(lit(1)).as("seq_processed"),
-      zsum(when(col("assignment").isNotNull, 1L).otherwise(0L)).as("seq_classified"),
-      zsum(when(col("unique"), 1L).otherwise(0L)).as("seq_unique_matches"),
-      coalesce(sum(size(col("matches"))).cast("long"), lit(0L)).as("matches"),
-      zsum(col("discarded_filter").cast("long")).as("dis_matches_rel_filter"),
-      zsum(col("discarded_fpr").cast("long")).as("dis_matches_fpr_query"),
-      zsum(col("n_hashes").cast("long")).as("kmers_proccessed"),
-      zsum(when(col("assignment").isNotNull, col("n_hashes").cast("long"))
-        .otherwise(0L)).as("kmers_from_classified_seqs"),
-      zsum(aggregate(col("matches"), lit(0L),
-        (acc, m) => acc + m.getField("count"))).as("kmers_matched"))
+      hierarchyLabel: String = "1"): DataFrame =
+    staProject(results.toDF().agg(staAggCols.head, staAggCols.tail: _*),
+      lit(prefix), hierarchyLabel)
+
+  private def staProject(agg: DataFrame,
+      prefixCol: org.apache.spark.sql.Column,
+      hierarchyLabel: String): DataFrame = {
     // seq_processed floored at 1 "to not report nan on divisions" (:1199)
     val sp = greatest(col("seq_processed").cast("double"), lit(1.0))
     agg.select(
-      lit(prefix).as("prefix"),
+      prefixCol.as("prefix"),
       lit(hierarchyLabel).as("hierarchy_label"),
       col("seq_processed"),
       (col("seq_processed") - col("seq_classified")).as("seq_unclassified"),
@@ -237,6 +284,68 @@ object Classify {
         col("kmers_matched") / col("kmers_from_classified_seqs").cast("double")
           * 100).otherwise(0.0), 6).as("kmers_matched_perc"))
   }
+
+  /**
+   * Multi-sample classify — the reference's batch-manifest run
+   * (GanonClassify.cpp:289-351; per-prefix outputs :834-863): `reads`
+   * carries a sample column (e.g. from Formats.readBatchManifest's
+   * `sample`) that rides through the per-read probe, so ONE job classifies
+   * every sample instead of re-running per prefix. Returns the per-read
+   * results with `sample` as the leading column; feed [[reportBySample]] /
+   * [[staBySample]] for the per-prefix `.rep`/`.sta`.
+   */
+  def classifyBySample(spark: SparkSession, reads: DataFrame,
+      sampleCol: String, idCol: String, contentCol: String, db: ProbeDb,
+      cp: ClassifyParams = ClassifyParams(),
+      lcaOpt: Option[Lca] = None): DataFrame = {
+    import spark.implicits._
+    val dbB = spark.sparkContext.broadcast(db)
+    val lcaB = spark.sparkContext.broadcast(lcaOpt)
+    val shExpr = graft.spark.ShinglesExpr.col(
+      coalesce(col(contentCol), lit("")), db.params.k, db.params.w,
+      db.params.seed)
+    reads
+      .select(col(sampleCol).cast("string").as("sample"),
+        col(idCol).cast("string").as("read_id"),
+        coalesce(octet_length(col(contentCol)), lit(0)).as("len"),
+        shExpr.as("hs"))
+      .as[(String, String, Int, Array[Long])]
+      .mapPartitions { iter =>
+        val d = dbB.value
+        val lca = lcaB.value
+        val counts = new Array[Int](d.targets.length)
+        iter.map { case (sample, id, len, hs) =>
+          (sample, classifyOne(id, len, hs, d, cp, lca, counts))
+        }
+      }.toDF("sample", "r")
+      .select(col("sample"), col("r.*"))
+  }
+
+  /** Per-sample `.rep`: (sample, target, matches, unique_reads, lca_reads)
+    * — the reference's per-prefix report rows in one aggregation
+    * (GanonClassify.cpp:834-863). */
+  def reportBySample(results: DataFrame): DataFrame = {
+    val all = results
+      .select(col("sample"), explode(col("matches")).as("m"))
+      .groupBy(col("sample"), col("m.target").as("target"))
+      .agg(count(lit(1)).as("matches"))
+    val one = results.filter(col("assignment").isNotNull)
+      .groupBy(col("sample"), col("assignment").as("target"))
+      .agg(
+        sum(when(col("unique"), 1L).otherwise(0L)).as("unique_reads"),
+        sum(when(col("unique"), 0L).otherwise(1L)).as("lca_reads"))
+    all.join(one, Seq("sample", "target"), "full_outer")
+      .na.fill(0L, Seq("matches", "unique_reads", "lca_reads"))
+  }
+
+  /** Per-sample 18-column `.sta` (prefix = the sample value), one
+    * aggregation over all samples. */
+  def staBySample(results: DataFrame, hierarchyLabel: String = "1"): DataFrame =
+    staProject(
+      results.groupBy(col("sample").as("prefix_key"))
+        .agg(staAggCols.head, staAggCols.tail: _*),
+      col("prefix_key"), hierarchyLabel)
+      .drop("prefix_key")
 
   /**
    * Multi-filter level (GanonClassify.cpp:528-539): probe SEVERAL dbs in
@@ -390,11 +499,20 @@ object Classify {
   def cascade(spark: SparkSession, reads: DataFrame, idCol: String,
       contentCol: String, levels: Seq[(String, ProbeDb)],
       cp: ClassifyParams = ClassifyParams(),
+      lcaOpt: Option[Lca] = None): DataFrame =
+    cascadePerLevel(spark, reads, idCol, contentCol,
+      levels.map { case (label, db) => (label, db, cp) }, lcaOpt)
+
+  /** Cascade with PER-LEVEL ClassifyParams — the reference allows each
+    * hierarchy label its own rel-cutoff / rel-filter / fpr-query
+    * (GanonClassify.cpp:353-401 parse_hierarchy). */
+  def cascadePerLevel(spark: SparkSession, reads: DataFrame, idCol: String,
+      contentCol: String, levels: Seq[(String, ProbeDb, ClassifyParams)],
       lcaOpt: Option[Lca] = None): DataFrame = {
     var remaining = reads
     var acc: Option[DataFrame] = None
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    levels.foreach { case (label, db) =>
+    levels.foreach { case (label, db, cp) =>
       val res = classify(spark, remaining, idCol, contentCol, db, cp, lcaOpt)
         .toDF().persist()
       cached += res

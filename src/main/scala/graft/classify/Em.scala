@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
  * per-target count whose shuffle is |targets| rows per partition. Nothing
  * rescans or reshuffles the full match relation inside the loop.
  * Tie-break: the reference keeps the FIRST listed match (reassign.py:
- * 227-241); Spark rows have no implicit order, so the stable order is
+ * 227-241 — np.argmax returns the first max index). When the input
+ * carries Classify.allMatches' `match_order` column (the read's bin
+ * order), ties resolve on it exactly; without it the stable fallback is
  * (score desc, target asc).
  */
 object Em {
@@ -30,7 +32,13 @@ object Em {
    */
   def reassign(spark: SparkSession, all: DataFrame, maxIter: Int = 10,
       threshold: Double = 0.001): DataFrame = {
-    val matches = all.withColumn("kmer_count", col("kmer_count").cast("long"))
+    // first-listed order: present when the caller fed allMatches output
+    val ordCol =
+      if (all.columns.contains("match_order")) col("match_order").cast("long")
+      else lit(0L)
+    val matches = all
+      .select(col("read_id"), col("target"),
+        col("kmer_count").cast("long").as("kmer_count"), ordCol.as("ord"))
       .persist()
     val nMatches = matches.groupBy("read_id")
       .agg(count(lit(1)).as("n_m"))
@@ -42,7 +50,8 @@ object Em {
     // the ungrouped relation again
     val multiReads = withN.filter(col("n_m").isNull)
       .groupBy("read_id")
-      .agg(collect_list(struct(col("target"), col("kmer_count"))).as("ms"))
+      .agg(collect_list(struct(col("target"), col("kmer_count"), col("ord")))
+        .as("ms"))
       .persist()
 
     // init probs from unique counts (+1 smoothing so zero-unique targets
@@ -60,18 +69,19 @@ object Em {
       .map(t => t -> (uniqueCounts.getOrElse(t, 0L) + 1.0)).toSeq)
 
     // argmax over the read's candidate array given the broadcast prob map;
-    // ties by target asc (see scaladoc)
+    // ties by first-listed order, then target asc (see scaladoc)
     def assign(pB: org.apache.spark.broadcast.Broadcast[Map[String, Double]])
         : DataFrame = {
       val pick = udf((ms: Seq[Row]) => {
         val p = pB.value
         var bt: String = null; var bc = 0L; var bs = -1.0
+        var bo = Long.MaxValue
         ms.foreach { r =>
-          val t = r.getString(0); val c = r.getLong(1)
+          val t = r.getString(0); val c = r.getLong(1); val o = r.getLong(2)
           val s = c * p.getOrElse(t, 0.0)
-          if (s > bs || (s == bs && (bt == null || t < bt))) {
-            bs = s; bt = t; bc = c
-          }
+          val better = s > bs || (s == bs &&
+            (o < bo || (o == bo && (bt == null || t < bt))))
+          if (better) { bs = s; bt = t; bc = c; bo = o }
         }
         (bt, bc)
       })

@@ -138,6 +138,43 @@ final class InterleavedBloom(
     acc != 0L
   }
 
+  /** Zero the bin columns [binLo, binHi) in place — the removal primitive
+    * of the stored-db update path (a removed target's bins are masked out;
+    * compaction would re-route every surviving hash). */
+  def zeroBins(binLo: Int, binHi: Int): Unit = {
+    var b = binLo
+    while (b < binHi) {
+      val w = b >>> 6
+      val mask = ~(1L << (b & 63))
+      var pos = 0L
+      while (pos < bitsPerBin) {
+        words((pos * wordsPerRow + w).toInt) &= mask
+        pos += 1
+      }
+      b += 1
+    }
+  }
+
+  /** OR a per-bin Bloom (same bitsPerBin/numHashes — the lossless
+    * interleaving contract) into bin column `bin` in place. */
+  def orBin(bin: Int, bloom: Bloom): Unit = {
+    require(bloom.numBits == bitsPerBin && bloom.numHashes == numHashes,
+      s"bloom (${bloom.numBits},${bloom.numHashes}) != ($bitsPerBin,$numHashes)")
+    val w = bin >>> 6
+    val bit = 1L << (bin & 63)
+    var q = 0
+    while (q < bloom.words.length) {
+      var bits = bloom.words(q)
+      while (bits != 0L) {
+        val j = java.lang.Long.numberOfTrailingZeros(bits)
+        val pos = (q.toLong << 6) + j
+        if (pos < bitsPerBin) words((pos * wordsPerRow + w).toInt) |= bit
+        bits &= bits - 1
+      }
+      q += 1
+    }
+  }
+
   def toBytes: Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(20 + words.length * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

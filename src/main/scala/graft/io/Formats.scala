@@ -58,4 +58,40 @@ object Formats {
   def writeRepTsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("sep", "\t").option("header", "true").csv(path)
+
+  /** Per-sample `.rep` sink: one TSV directory per sample prefix via a
+    * partitioned write — the reference's per-prefix output files
+    * (GanonClassify.cpp:834-863) with no per-sample driver loop. */
+  def writeRepPerSample(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("sample")
+      .option("sep", "\t").option("header", "true").csv(path)
+
+  /**
+   * Materialize a batch manifest (readBatchManifest shape) into ONE tagged
+   * reads frame: each row's file1 parquet is read and tagged with its
+   * `sample`; a non-null file2 is the paired mate table, joined on idCol
+   * into a `content2` column (the reference pairs mates positionally from
+   * twin FASTQ files, GanonClassify.cpp:289-351 — a keyed join is the
+   * relational equivalent). The union feeds Classify.classifyBySample, so
+   * a multi-sample run is one Spark job, not a per-prefix rerun.
+   */
+  def readsFromManifest(spark: SparkSession, manifest: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val rows = manifest.collect() // a dimension: one row per sample file
+    require(rows.nonEmpty, "empty batch manifest")
+    val frames = rows.map { r =>
+      val sample = r.getAs[String]("sample")
+      val f1 = spark.read.parquet(r.getAs[String]("file1"))
+        .select(col(idCol), col(contentCol))
+      val base = Option(r.getAs[String]("file2")) match {
+        case Some(f2path) =>
+          f1.join(spark.read.parquet(f2path)
+            .select(col(idCol), col(contentCol).as("content2")), Seq(idCol))
+        case None =>
+          f1.withColumn("content2", lit(null).cast("string"))
+      }
+      base.withColumn("sample", lit(sample))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

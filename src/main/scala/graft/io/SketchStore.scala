@@ -13,22 +13,26 @@ import graft.core.sketch.{Bloom, InterleavedBloom}
  * serialized coarse structure; two-level layouts add one row per fine shard.
  *
  * Layout under `dir`:
- *   manifest.parquet  (version, layout, k, w, seed, maxFp, hllP,
- *                      minContentLen, sizingMode, bitsPerBin, numHashes,
- *                      maxHashesBin, numBins, ibf)
- *   bins.parquet      (target, n_hashes, base, split)  — the bin map
- *   shards.parquet    (grp, ibf)                       [two-level only]
+ *   shards/grp_<g>.bin  one raw blob per 64-bin group   [two-level only]
+ *   bins.parquet        (target, n_hashes, base, split) — the bin map
+ *   manifest.parquet    (version, layout, k, w, seed, maxFp, hllP,
+ *                        minContentLen, sizingMode, bitsPerBin, numHashes,
+ *                        maxHashesBin, numBins, ibf) — written LAST, so a
+ *                        partially-written store is never loadable
  *
  * Bin metadata stays relational (queryable/joinable); bit-matrices ride as
- * binary cells. At real scale the shards table is exactly what executors
- * load lazily per group.
+ * binary cells/blobs. The raw per-group blobs are the single source of
+ * shard truth: the executor-side lazy-load unit (one open+read per group,
+ * no parquet machinery inside tasks), written straight from executors by
+ * `SketchBuild.buildToStore`, and rewritten per touched group by
+ * `SketchBuild.updateStored`.
  */
 object SketchStore {
 
-  val FormatVersion = 4
+  val FormatVersion = 5
 
-  private def writeManifest(spark: SparkSession, db: SplitBinDb, layout: String,
-      ibfBytes: Array[Byte], dir: String): Unit = {
+  private[graft] def writeManifest(spark: SparkSession, db: SplitBinDb,
+      layout: String, ibfBytes: Array[Byte], dir: String): Unit = {
     import spark.implicits._
     val bins = db.targets.indices.map { i =>
       (db.targets(i), db.targetHashes(i), db.layout.base(i), db.layout.split(i))
@@ -49,19 +53,37 @@ object SketchStore {
     writeManifest(spark, db, "flat", db.ibf.toBytes, dir)
 
   def saveTwoLevel(spark: SparkSession, db: TwoLevelSketchDb, dir: String): Unit = {
-    import spark.implicits._
-    writeManifest(spark, db, "two", db.coarse.toBytes, dir)
-    db.shards.zipWithIndex.map { case (shard, g) => (g, shard.toBytes) }
-      .toSeq.toDF("grp", "ibf")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/shards.parquet")
-    // raw per-group blobs: the executor-side lazy-load unit (one open+read
-    // per group, no parquet machinery inside tasks)
+    // blobs first, manifest last (see layout note above)
     val conf = spark.sparkContext.hadoopConfiguration
     db.shards.zipWithIndex.foreach { case (shard, g) =>
-      val path = new org.apache.hadoop.fs.Path(s"$dir/shards/grp_$g.bin")
-      val fs = path.getFileSystem(conf)
-      val out = fs.create(path, true)
-      try out.write(shard.toBytes) finally out.close()
+      writeShardBlob(conf, s"$dir/shards", g, shard.toBytes)
+    }
+    writeManifest(spark, db, "two", db.coarse.toBytes, dir)
+  }
+
+  private[graft] def writeShardBlob(conf: org.apache.hadoop.conf.Configuration,
+      shardDir: String, g: Int, bytes: Array[Byte]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Read one raw shard blob; None if the group has no file (a group whose
+    * targets routed zero hashes — never probed thanks to coarse pruning). */
+  private[graft] def readShardBlob(conf: org.apache.hadoop.conf.Configuration,
+      shardDir: String, g: Int): Option[InterleavedBloom] = {
+    val path = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val len = fs.getFileStatus(path).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        Some(InterleavedBloom.fromBytes(buf))
+      } finally in.close()
     }
   }
 
@@ -113,11 +135,14 @@ object SketchStore {
       case "flat" =>
         new SketchDb(blob, targets, counts, layout, params, plan)
       case "two" =>
-        val shardRows = spark.read.parquet(s"$dir/shards.parquet")
-          .collect().map(r => (r.getAs[Int]("grp"),
-            InterleavedBloom.fromBytes(r.getAs[Array[Byte]]("ibf"))))
-          .sortBy(_._1)
-        new TwoLevelSketchDb(blob, shardRows.map(_._2), targets, counts,
+        val conf = spark.sparkContext.hadoopConfiguration
+        val shards = Array.tabulate(layout.numGroups) { g =>
+          readShardBlob(conf, s"$dir/shards", g).getOrElse {
+            val nLocal = math.min(64, layout.numBins - g * 64)
+            InterleavedBloom.empty(nLocal, plan.bitsPerBin, plan.numHashes)
+          }
+        }
+        new TwoLevelSketchDb(blob, shards, targets, counts,
           layout, params, plan)
       case other => throw new IllegalArgumentException(s"unknown layout $other")
     }
