@@ -64,7 +64,13 @@ object Bench {
     (corpus, files, bytes)
   }
 
-  /** One timed sketch-build + classify pass over the cached corpus. */
+  /** One timed sketch-build + classify pass over the cached corpus.
+    * persistShingles (the .min-spill analog) stays OFF here: measured
+    * A/B (tools/SpillAb) shows min 5.57 vs 5.93 s but with cache-pressure
+    * variance up to 2.4x on the persisted arm — recomputing shingles from
+    * the cached corpus is nearly as cheap as reading the columnar hash
+    * cache, so the knob only pays when the INPUT scan itself is expensive
+    * (cold object store), not on a warmed local corpus. */
   private def corpusJob(spark: SparkSession, corpus: DataFrame): Double = {
     val t0 = System.nanoTime()
     val db = SketchBuild.build(spark, corpus, "repo", "content",

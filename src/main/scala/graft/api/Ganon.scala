@@ -42,6 +42,50 @@ object Ganon {
     else SketchBuild.build(spark, df, targetCol, contentCol, params,
       checkpointDir)
 
+  /** Build straight INTO the store (databases bigger than driver memory):
+    * shard blobs stream from executors, the driver holds coarse+metadata,
+    * and the returned lazy db probes the store on demand. */
+  def buildToStore(spark: SparkSession, df: DataFrame, targetCol: String,
+      contentCol: String, dir: String, params: IbfParams = IbfParams(),
+      checkpointDir: Option[String] = None): ProbeDb =
+    SketchBuild.buildToStore(spark, df, targetCol, contentCol, dir, params,
+      checkpointDir)
+
+  /** ganon update on a STORED two-level db: O(touched-groups) blob
+    * rewrites, manifest last; returns the refreshed lazy db. */
+  def updateStored(spark: SparkSession, dir: String, addDf: DataFrame,
+      targetCol: String, contentCol: String,
+      removeTargets: Seq[String] = Nil): ProbeDb =
+    SketchBuild.updateStored(spark, dir, addDf, targetCol, contentCol,
+      removeTargets)
+
+  /** ganon classify --paired: mates' distinct-union hash set per read. */
+  def classifyPaired(spark: SparkSession, reads: DataFrame, idCol: String,
+      content1Col: String, content2Col: String, db: ProbeDb,
+      params: ClassifyParams = ClassifyParams(),
+      taxonomy: Option[DataFrame] = None): ClassifyOutput = {
+    val lca = taxonomy.map(tax => Lca.build(Formats.taxToParents(tax), "root"))
+    val res = Classify.classifyPaired(spark, reads, idCol, content1Col,
+      content2Col, db, params, lca)
+    ClassifyOutput(res, Classify.allMatches(res), Classify.oneAssignments(res),
+      Classify.report(res), Classify.unclassified(res), Classify.stats(res))
+  }
+
+  /** ganon classify over a batch manifest: one job, per-sample .rep/.sta.
+    * Returns (per-read results with `sample`, per-sample rep, per-sample
+    * sta). */
+  def classifyBatch(spark: SparkSession, manifest: DataFrame, idCol: String,
+      contentCol: String, db: ProbeDb,
+      params: ClassifyParams = ClassifyParams(),
+      taxonomy: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val lca = taxonomy.map(tax => Lca.build(Formats.taxToParents(tax), "root"))
+    val reads = Formats.readsFromManifest(spark, manifest, idCol, contentCol)
+    val res = Classify.classifyBySample(spark, reads, "sample", idCol,
+      contentCol, db, params, lca)
+    (res, Classify.reportBySample(res), Classify.staBySample(res))
+  }
+
   def save(spark: SparkSession, db: ProbeDb, dir: String): Unit = db match {
     case flat: SketchDb => SketchStore.save(spark, flat, dir)
     case two: TwoLevelSketchDb => SketchStore.saveTwoLevel(spark, two, dir)

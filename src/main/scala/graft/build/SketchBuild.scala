@@ -354,18 +354,25 @@ final class LazyTwoLevelDb(
  */
 object SketchBuild {
 
-  /** Pass-1 result: (target, n_hashes estimate). */
-  def targetCardinalities(df: DataFrame, targetCol: String, contentCol: String,
-      p: IbfParams): DataFrame = {
+  /** The (target, hs) shingle projection both passes consume. */
+  private def hashedProjection(df: DataFrame, targetCol: String,
+      contentCol: String, p: IbfParams): DataFrame = {
     val base =
       if (p.minContentLen > 0) df.filter(octet_length(col(contentCol)) >= p.minContentLen)
       else df
-    base
-      .select(col(targetCol).as("target"),
-        GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
-      .groupBy("target")
-      .agg(GraftFunctions.hllCount(col("hs"), p.hllP).as("n_hashes"))
+    base.select(col(targetCol).as("target"),
+      GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
   }
+
+  /** Pass-1 result: (target, n_hashes estimate). */
+  def targetCardinalities(df: DataFrame, targetCol: String, contentCol: String,
+      p: IbfParams): DataFrame =
+    targetCardinalitiesHashed(hashedProjection(df, targetCol, contentCol, p), p)
+
+  private def targetCardinalitiesHashed(hashed: DataFrame,
+      p: IbfParams): DataFrame =
+    hashed.groupBy("target")
+      .agg(GraftFunctions.hllCount(col("hs"), p.hllP).as("n_hashes"))
 
   /** Driver-side sizing via the capacity simulation; 5% headroom on the bin
     * size covers the HLL estimate error (1.04/sqrt(2^p)) so the realized FP
@@ -384,10 +391,11 @@ object SketchBuild {
 
   def build(spark: SparkSession, df: DataFrame, targetCol: String,
       contentCol: String, p: IbfParams = IbfParams(),
-      checkpointDir: Option[String] = None): SketchDb = {
+      checkpointDir: Option[String] = None,
+      persistShingles: Boolean = false): SketchDb = {
     val (cards, thePlan, layout, shardRows) =
       buildShards(spark, df, targetCol, contentCol, p, checkpointDir,
-        twoLevel = false)
+        twoLevel = false, persistShingles)
     val ibf = InterleavedBloom.empty(layout.numBins, thePlan.bitsPerBin,
       thePlan.numHashes)
     val w = ibf.wordsPerRow
@@ -410,11 +418,12 @@ object SketchBuild {
    */
   def buildTwoLevel(spark: SparkSession, df: DataFrame, targetCol: String,
       contentCol: String, p: IbfParams = IbfParams(), groupSize: Int = 64,
-      checkpointDir: Option[String] = None): TwoLevelSketchDb = {
+      checkpointDir: Option[String] = None,
+      persistShingles: Boolean = false): TwoLevelSketchDb = {
     require(groupSize == 64, "interleaved layout fixes the group size at 64")
     val (cards, thePlan, layout, shardRows) =
       buildShards(spark, df, targetCol, contentCol, p, checkpointDir,
-        twoLevel = true)
+        twoLevel = true, persistShingles)
     val nGroups = layout.numGroups
     val shards = new Array[InterleavedBloom](nGroups)
     val coarseBins = new Array[(Int, Bloom)](nGroups)
@@ -447,18 +456,30 @@ object SketchBuild {
   }
 
   /** The shared two-pass pipeline with the pass-2 result left DISTRIBUTED:
-    * one row per touched 64-bin group (grp, shard[, coarse]). */
+    * one row per touched 64-bin group (grp, shard[, coarse]). With
+    * `persistShingles` the (target, hs) projection is computed ONCE and
+    * persisted (memory-and-disk) between the passes — the Spark analog of
+    * the reference's `.min` hash spill files (GanonBuild.cpp:139-182),
+    * trading cache space for a second full shingle scan. The returned
+    * cleanup releases it AFTER the caller's pass-2 action. */
   private def planAndShard(spark: SparkSession, df: DataFrame,
       targetCol: String, contentCol: String, p: IbfParams,
-      checkpointDir: Option[String], twoLevel: Boolean)
-      : (Seq[(String, Long)], IbfPlan, BinLayout, DataFrame) = {
+      checkpointDir: Option[String], twoLevel: Boolean,
+      persistShingles: Boolean = false)
+      : (Seq[(String, Long)], IbfPlan, BinLayout, DataFrame, () => Unit) = {
     import spark.implicits._
+
+    var hashed = hashedProjection(df, targetCol, contentCol, p)
+    if (persistShingles) hashed = hashed.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cleanup: () => Unit =
+      if (persistShingles) () => { hashed.unpersist(); () } else () => ()
 
     // ---- pass 1 (or resume) ----
     val tag = paramsTag(p) + s";target=$targetCol;content=$contentCol;two=$twoLevel"
     val cardsDf = checkpointed(spark, checkpointDir, "pass1_cardinalities",
         tag) {
-      targetCardinalities(df, targetCol, contentCol, p)
+      targetCardinalitiesHashed(hashed, p)
     }
     val cards = cardsDf.as[(String, Long)].collect().sortBy(_._1).toSeq
     val (thePlan, layout) = plan(cards, p)
@@ -489,23 +510,26 @@ object SketchBuild {
       (cards(i)._1, layout.base(i), layout.split(i)))
     val binsDf = checkpointed(spark, checkpointDir, "pass2_group_shards",
         tag) {
-      shardPass(spark, df, targetCol, contentCol, p, thePlan, entries,
+      shardPass(spark, hashed, thePlan, entries,
         layout.numGroups, coarseBits, coarseH, twoLevel)
     }
-    (cards, thePlan, layout, binsDf)
+    (cards, thePlan, layout, binsDf, cleanup)
   }
 
   /** In-memory variant: collect the (small) shard rows to the driver. */
   private def buildShards(spark: SparkSession, df: DataFrame,
       targetCol: String, contentCol: String, p: IbfParams,
-      checkpointDir: Option[String], twoLevel: Boolean)
+      checkpointDir: Option[String], twoLevel: Boolean,
+      persistShingles: Boolean)
       : (Seq[(String, Long)], IbfPlan, BinLayout, Array[(Int, Array[Byte], Array[Byte])]) = {
-    val (cards, thePlan, layout, binsDf) =
-      planAndShard(spark, df, targetCol, contentCol, p, checkpointDir, twoLevel)
+    val (cards, thePlan, layout, binsDf, cleanup) =
+      planAndShard(spark, df, targetCol, contentCol, p, checkpointDir,
+        twoLevel, persistShingles)
     val shardRows = binsDf.collect().map { r =>
       (r.getInt(0), r.getAs[Array[Byte]]("shard"),
         if (twoLevel) r.getAs[Array[Byte]]("coarse") else null)
     }
+    cleanup()
     (cards, thePlan, layout, shardRows)
   }
 
@@ -523,11 +547,12 @@ object SketchBuild {
    */
   def buildToStore(spark: SparkSession, df: DataFrame, targetCol: String,
       contentCol: String, dir: String, p: IbfParams = IbfParams(),
-      checkpointDir: Option[String] = None): LazyTwoLevelDb = {
+      checkpointDir: Option[String] = None,
+      persistShingles: Boolean = false): LazyTwoLevelDb = {
     import spark.implicits._
-    val (cards, thePlan, layout, binsDf) =
+    val (cards, thePlan, layout, binsDf, cleanup) =
       planAndShard(spark, df, targetCol, contentCol, p, checkpointDir,
-        twoLevel = true)
+        twoLevel = true, persistShingles)
     val numBins = layout.numBins
     val nGroups = layout.numGroups
     val bitsPerBin = thePlan.bitsPerBin
@@ -556,6 +581,7 @@ object SketchBuild {
           (g, coarseBlob)
         }
       }.collect()
+    cleanup()
     // empty blobs for untouched groups (all-empty/filtered content): coarse
     // pruning never fetches them, but the eager loadAny path reads each
     val present = coarseRows.map(_._1).toSet
@@ -576,10 +602,11 @@ object SketchBuild {
     db
   }
 
-  /** The routed shard aggregation over `df` for the given bin-map entries
-    * (target, base, split). Returns one row per touched 64-bin group. */
-  private def shardPass(spark: SparkSession, df: DataFrame, targetCol: String,
-      contentCol: String, p: IbfParams, thePlan: IbfPlan,
+  /** The routed shard aggregation over the (target, hs) projection for the
+    * given bin-map entries (target, base, split). Returns one row per
+    * touched 64-bin group. */
+  private def shardPass(spark: SparkSession, hashed: DataFrame,
+      thePlan: IbfPlan,
       entries: Seq[(String, Int, Int)], numGroups: Int,
       coarseBits: Long = 64L, coarseH: Int = 1,
       twoLevel: Boolean = false): DataFrame = {
@@ -606,12 +633,7 @@ object SketchBuild {
         byGrp.iterator.map { case (g, b) => (g, b.result()) }.toArray
       }
     })
-    val base =
-      if (p.minContentLen > 0) df.filter(octet_length(col(contentCol)) >= p.minContentLen)
-      else df
-    val routed = base
-      .select(col(targetCol).as("target"),
-        GraftFunctions.shingles(col(contentCol), p.k, p.w, p.seed).as("hs"))
+    val routed = hashed
       .join(layoutDf, Seq("target"))
       .select(col("base"), col("split"),
         explode(route(col("hs"), col("base"), col("split"))).as("r"))
@@ -728,7 +750,8 @@ object SketchBuild {
         val i = db.targetIndex(t)
         (t, db.layout.base(i), db.layout.split(i))
       } ++ newEntries
-      val touched = shardPass(spark, addDf, targetCol, contentCol, p,
+      val touched = shardPass(spark,
+        hashedProjection(addDf, targetCol, contentCol, p),
         db.plan, entries, layout.numGroups)
         .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]]("shard")))
       touched.foreach { case (g, blob) =>
@@ -843,7 +866,8 @@ object SketchBuild {
           val i = db0.targetIndex(t)
           (t, db0.layout.base(i), db0.layout.split(i))
         } ++ newEntries
-        shardPass(spark, addDf, targetCol, contentCol, p, db0.plan, entries,
+        shardPass(spark, hashedProjection(addDf, targetCol, contentCol, p),
+          db0.plan, entries,
           nGroupsNew, coarseBits, coarseH, twoLevel = true)
           .select(col("grp"), col("shard"), col("coarse"))
           .as[(Int, Array[Byte], Array[Byte])]

@@ -64,6 +64,19 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("persistShingles build: bit-identical to the two-scan build") {
+    val docs = graft.synth.Corpus.df(spark, 400, numRepos = 12, partitions = 4)
+      .cache()
+    val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
+    val a = SketchBuild.build(spark, docs, "repo", "content", p)
+    val b = SketchBuild.build(spark, docs, "repo", "content", p,
+      persistShingles = true)
+    assert(a.targets.sameElements(b.targets))
+    assert(a.plan == b.plan)
+    assert(a.ibf.words.sameElements(b.ibf.words))
+    docs.unpersist()
+  }
+
   test("updateStored: add+remove rewrites only touched groups, equals fresh") {
     // enough repos for several 64-bin groups, so "untouched group" exists
     val docs = graft.synth.Corpus.df(spark, 1000, numRepos = 150, partitions = 8)
