@@ -68,6 +68,52 @@ class GanonApiSpec extends AnyFunSuite {
     assert(piv.count() == corpus.select("lang").distinct().count())
   }
 
+  test("facade: buildToStore + updateStored + paired + batch verbs") {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val dir = "/tmp/graft_api_b2s"
+    deleteRec(new java.io.File(dir))
+    val big = Ganon.buildToStore(spark, corpus, "repo", "content", dir, p)
+    assert(big.targets.length == 10)
+    val repos = corpus.select("repo").distinct().orderBy("repo")
+      .collect().map(_.getString(0))
+    val upd = Ganon.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(repos.last))
+    assert(upd.targets.length == 9 && !upd.targets.contains(repos.last))
+
+    // paired: halves of content. w>k means a half's MINIMIZER set is not
+    // a subset of the full text's (window boundaries shift at the cut), so
+    // full containment can't be asserted — a loose cutoff is the
+    // guaranteed regime (the subset property holds only for w==k, which
+    // q51 exercises byte-exactly)
+    val paired = corpus.withColumn("id", $"path")
+      .select($"id", $"repo",
+        expr("substring(content, 1, cast(length(content)/2 as int))").as("c1"),
+        expr("substring(content, cast(length(content)/2 as int)+1, length(content))").as("c2"))
+    val pOut = Ganon.classifyPaired(spark, paired, "id", "c1", "c2", big,
+      ClassifyParams(relCutoff = 0.25, fprQuery = 1.0))
+    assert(pOut.sta.first().getAs[Long]("seqs_classified") == corpus.count())
+
+    // batch manifest: two single-end sample files -> per-sample rep
+    val mdir = "/tmp/graft_api_manifest"
+    deleteRec(new java.io.File(mdir))
+    corpus.limit(40).select($"path".as("id"), $"content")
+      .write.parquet(s"$mdir/a.parquet")
+    corpus.orderBy($"path".desc).limit(40).select($"path".as("id"), $"content")
+      .write.parquet(s"$mdir/b.parquet")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$mdir/m.tsv"),
+      s"sA\t$mdir/a.parquet\nsB\t$mdir/b.parquet\n")
+    val manifest = graft.io.Formats.readBatchManifest(spark, s"$mdir/m.tsv")
+    val (res, rep, sta) = Ganon.classifyBatch(spark, manifest, "id",
+      "content", big, ClassifyParams(relCutoff = 0.25))
+    assert(res.select("sample").distinct().count() == 2)
+    assert(rep.select("sample").distinct().count() == 2)
+    assert(sta.count() == 2 &&
+      sta.agg(sum("seq_classified")).first().getLong(0) == 80L)
+  }
+
   test("two-level store roundtrip classifies identically") {
     val two = Ganon.build(spark, corpus, "repo", "content", p, twoLevel = true)
     val dir = java.nio.file.Files.createTempDirectory("graft_api2").toString

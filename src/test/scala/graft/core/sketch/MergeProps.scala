@@ -97,6 +97,22 @@ object MergeProps extends Properties("sketch-merge") {
       Prop(nOk && rankOk) :| s"n=${merged.n}/${xs.length}"
     }
 
+  property("minK: split-invariant merge == single-pass k-smallest + dropped") =
+    forAll(genSplit, Gen.chooseNum(1, 64)) { case ((xs, chunks), k) =>
+      import graft.spark.udaf.SketchAggs.MinKIdsAgg
+      val agg = new MinKIdsAgg(k)
+      val bulk = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val parts = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(parts.reverse.foldLeft(agg.zero)(agg.merge))
+      val expect = xs.distinct.sorted.take(k) // ids are distinct by construction
+      Prop(merged.ids.sameElements(bulk.ids) &&
+        bulk.ids.sameElements(expect.take(bulk.ids.length)) &&
+        bulk.ids.length == math.min(k, xs.length) &&
+        merged.dropped == bulk.dropped &&
+        bulk.dropped == math.max(0, xs.length - k)) :|
+        s"n=${xs.length} k=$k kept=${bulk.ids.length} dropped=${bulk.dropped}"
+    }
+
   property("ibf shard: split-invariant OR-merge == bulk insert, routed bins") =
     forAll(genSplit, Gen.chooseNum(1, 5)) { case ((xs, chunks), split) =>
       import graft.build.BinLayout
