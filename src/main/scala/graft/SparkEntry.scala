@@ -1002,6 +1002,29 @@ object SparkEntry {
             m => m.getField("target") === col("lang")).as("hit_own"))
     }),
 
+    "q52_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup: first occurrence per content digest across
+      // micro-batches; the emitted digest SET equals batch distinct texts
+      // (which row of a dup group survives is batch-order-dependent, so
+      // the oracle checks digests, not ids)
+      val srcDir = java.nio.file.Paths.get(
+        s"/tmp/graft_stream_docs_${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("documents.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val schema = t(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val out = graft.streaming.StreamClassify.dedupStream(stream, "text")
+        .select(col("digest"))
+      val qname = "graft_stream_dedup_" + math.abs(dir.hashCode)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qname)
+    }),
+
     "q45_simhash_pairs" -> ((s, dir) => {
       // simhash banded PAIR generation recall guarantee: an exact-duplicate
       // pair has identical token multisets => identical simhash => hamming 0
@@ -1498,6 +1521,9 @@ object SparkEntry {
     "q50_update_twolevel" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
+
+    "q52_stream_dedup" ->
+      """SELECT DISTINCT sha256(text) AS digest FROM documents""".stripMargin,
 
     // n_hashes must equal the distinct union of BOTH halves' byte-8-grams
     // (boundary-crossing grams of the full text are absent from both);

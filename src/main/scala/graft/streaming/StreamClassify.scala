@@ -55,6 +55,30 @@ object StreamClassify {
   }
 
   /**
+   * Streaming exact dedup: keep the FIRST occurrence of each content
+   * digest across micro-batches (the training-pipeline dedup gate, run
+   * continuously). State is one 32-byte digest per distinct content —
+   * content bytes never enter the state store. With a watermark the state
+   * is BOUNDED (`dropDuplicatesWithinWatermark`): duplicates separated by
+   * more than the watermark re-emit, the standard tradeoff for unbounded
+   * streams; without one, dedup is exact and state grows with distinct
+   * content. Use outputMode("append").
+   */
+  def dedupStream(stream: DataFrame, contentCol: String,
+      tsCol: Option[String] = None,
+      watermark: Option[String] = None): DataFrame = {
+    val keyed = stream.withColumn("digest", sha2(col(contentCol), 256))
+    (tsCol, watermark) match {
+      case (Some(ts), Some(wm)) =>
+        keyed.withColumn("__ts", col(ts).cast("timestamp"))
+          .withWatermark("__ts", wm)
+          .dropDuplicatesWithinWatermark("digest")
+          .drop("__ts")
+      case _ => keyed.dropDuplicates("digest")
+    }
+  }
+
+  /**
    * Per-target RUNNING distinct-shingle estimate via custom streaming
    * state (`KeyValueGroupedDataset.mapGroupsWithState`): the group state
    * is a serialized mergeable HLL; each micro-batch folds its rows'

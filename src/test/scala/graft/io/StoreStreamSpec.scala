@@ -99,6 +99,23 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(fin("a")._2 == 3 && fin("b")._2 == 2)
   }
 
+  test("streaming dedup: first-occurrence per digest across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamClassify.dedupStream(ms.toDF().toDF("id", "text"), "text")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("graft_dedup_test").start()
+    // duplicate "aaa" WITHIN batch 1 and AGAIN in batch 2 (state must
+    // suppress the cross-batch repeat too)
+    ms.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa")); q.processAllAvailable()
+    ms.addData((4L, "aaa"), (5L, "ccc")); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_dedup_test")
+      .select("text").collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("aaa", "bbb", "ccc"))
+  }
+
   test("observed metrics ride the action with no extra pass") {
     val res = graft.classify.Classify.classify(spark,
       corpus.limit(80).withColumn("id", $"path"), "id", "content", db)
