@@ -152,11 +152,21 @@ object GraftFunctions {
       es => TokenHashesExpr(es.head,
         if (es.length > 1) evalLongArg(es(1), "seed") else Hashing.DefaultSeed),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      es => MinhashSigExpr(es.head, evalIntArg(es(1), "numPerms"),
+        if (es.length > 2) evalLongArg(es(2), "seed") else Hashing.DefaultSeed,
+        oph = es.length <= 3 || es(3).eval() == true),
+      "scala_udf")
     spark.udf.register("graft_hash64", hash64Udf)
     spark.udf.register("graft_simhash", simhashUdf)
+    spark.udf.register("graft_band_keys",
+      udf((s: Array[Long], bands: Int) =>
+        if (s == null) Array.empty[Long] else MinHash.bandKeys(s, bands)))
     spark.udf.register("graft_hll_count", udaf(new HllCountAgg(14)))
     spark.udf.register("graft_hll_sketch", udaf(new HllSketchAgg(14)))
     spark.udf.register("graft_cms_sketch", udaf(new CmsSketchAgg(7, 8192)))
     spark.udf.register("graft_kll_sketch", udaf(new KllSketchAgg(256)))
+    spark.udf.register("graft_min_k_ids", udaf(new MinKIdsAgg(10000)))
   }
 }

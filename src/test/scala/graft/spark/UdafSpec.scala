@@ -135,6 +135,29 @@ class UdafSpec extends AnyFunSuite {
     assert(arr.getAs[scala.collection.Seq[Long]](1).size == 3) // distinct tokens
   }
 
+  test("sql: minhash signature + band keys + min-k agg round the lsh loop") {
+    GraftFunctions.register(spark)
+    spark.createDataset(Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+        (3L, "delta epsilon zeta")))
+      .toDF("id", "text").createOrReplaceTempView("t_lsh")
+    val rows = spark.sql(
+      """select id, graft_band_keys(
+        |  graft_minhash_sig(graft_token_hashes(text), 32), 8) as bands
+        |from t_lsh""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]](1)).toMap
+    assert(rows(1L) == rows(2L)) // identical sets -> identical band keys
+    assert(rows(1L) != rows(3L))
+    val mk = spark.sql(
+      """select b.band, graft_min_k_ids(t.id) as mk
+        |from t_lsh t, lateral (select explode(graft_band_keys(
+        |  graft_minhash_sig(graft_token_hashes(t.text), 32), 8)) as band) b
+        |group by b.band""".stripMargin)
+      .collect()
+    assert(mk.forall(_.getAs[org.apache.spark.sql.Row]("mk")
+      .getAs[Long]("dropped") == 0L))
+  }
+
   test("sql seed literals: int/long widths coerce; token seed is honored") {
     GraftFunctions.register(spark)
     spark.createDataset(Seq("alpha beta gamma alpha")).toDF("text")
