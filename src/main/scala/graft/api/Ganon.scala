@@ -81,8 +81,11 @@ object Ganon {
       : (DataFrame, DataFrame, DataFrame) = {
     val lca = taxonomy.map(tax => Lca.build(Formats.taxToParents(tax), "root"))
     val reads = Formats.readsFromManifest(spark, manifest, idCol, contentCol)
+    // paired manifest rows carry their mate in content2 (null for
+    // single-end rows, which degrade to mate-1-only hashing) — the read's
+    // hash set is the mates' distinct union, as in classifyPaired
     val res = Classify.classifyBySample(spark, reads, "sample", idCol,
-      contentCol, db, params, lca)
+      contentCol, db, params, lca, content2Col = Some("content2"))
     (res, Classify.reportBySample(res), Classify.staBySample(res))
   }
 

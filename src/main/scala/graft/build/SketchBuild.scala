@@ -559,6 +559,11 @@ object SketchBuild {
     val numHashes = thePlan.numHashes
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val shardDir = s"$dir/shards"
+    // fence the dir BEFORE destroying prior state: a crash between here
+    // and the final manifest leaves a store whose old manifest would
+    // otherwise load against missing/new blobs; readers fail fast on the
+    // marker instead (cleared by writeManifest, the commit point)
+    graft.io.SketchStore.markInProgress(conf.value, dir)
     // clear stale blobs: a leftover grp_<g>.bin from an earlier, larger
     // layout would be invisible now but could get OR-merged by a later
     // updateStored that re-extends into that group number
@@ -793,7 +798,8 @@ object SketchBuild {
    */
   def updateStored(spark: SparkSession, dir: String, addDf: DataFrame,
       targetCol: String, contentCol: String,
-      removeTargets: Seq[String] = Nil): LazyTwoLevelDb = {
+      removeTargets: Seq[String] = Nil,
+      persistShingles: Boolean = false): LazyTwoLevelDb = {
     import spark.implicits._
     val db0 = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
     val p = db0.params
@@ -802,11 +808,18 @@ object SketchBuild {
     require(unknown.isEmpty,
       s"removeTargets not in the db: ${unknown.toSeq.sorted.mkString(", ")}")
 
-    // pass 1 on the delta only
-    val addCards =
-      if (addDf == null) Seq.empty[(String, Long)]
-      else targetCardinalities(addDf, targetCol, contentCol, p)
-        .as[(String, Long)].collect().sortBy(_._1).toSeq
+    // pass 1 on the delta only; the same projection feeds the shard pass
+    // (one delta scan, optionally persisted — see planAndShard's note)
+    val hashedOpt = Option(addDf).map { d =>
+      val h = hashedProjection(d, targetCol, contentCol, p)
+      if (persistShingles)
+        h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else h
+    }
+    val addCards = hashedOpt
+      .map(h => targetCardinalitiesHashed(h, p)
+        .as[(String, Long)].collect().sortBy(_._1).toSeq)
+      .getOrElse(Seq.empty[(String, Long)])
     val (existingAdds, newAdds) =
       addCards.partition(c => db0.targetIndex.contains(c._1))
     require(addCards.forall(c => !removeSet.contains(c._1)),
@@ -839,6 +852,11 @@ object SketchBuild {
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val hconf = spark.sparkContext.hadoopConfiguration
 
+    // fence the store BEFORE any in-place blob mutation (the marker is
+    // cleared by the final writeManifest): a crash mid-update must never
+    // leave the old manifest loadable over half-mutated blobs
+    graft.io.SketchStore.markInProgress(hconf, dir)
+
     // 1. removal: zero the removed targets' bin columns in their groups'
     //    blobs — masking only, no re-aggregation, one blob resident at a time
     removeSet.toSeq.sorted.foreach { t =>
@@ -861,12 +879,12 @@ object SketchBuild {
     val coarseBits = db0.coarse.bitsPerBin
     val coarseH = db0.coarse.numHashes
     val touchedCoarse: Array[(Int, Array[Byte])] =
-      if (addDf != null && addCards.nonEmpty) {
+      if (hashedOpt.nonEmpty && addCards.nonEmpty) {
         val entries = existingAdds.map { case (t, _) =>
           val i = db0.targetIndex(t)
           (t, db0.layout.base(i), db0.layout.split(i))
         } ++ newEntries
-        shardPass(spark, hashedProjection(addDf, targetCol, contentCol, p),
+        shardPass(spark, hashedOpt.get,
           db0.plan, entries,
           nGroupsNew, coarseBits, coarseH, twoLevel = true)
           .select(col("grp"), col("shard"), col("coarse"))
@@ -892,6 +910,7 @@ object SketchBuild {
             }
           }.collect()
       } else Array.empty
+    if (persistShingles) hashedOpt.foreach(_.unpersist())
 
     // 3. coarse: re-stride to the (possibly wider) new group count, OR in
     //    the touched groups' delta unions

@@ -87,6 +87,14 @@ object Classify {
       .as[(String, Int, Array[Long])], db, cp, lcaOpt)
   }
 
+  /** One partition's classifier: scratch allocated once, then a pure
+    * per-row function — the shared core of every probe variant. */
+  private def rowClassifier(d: ProbeDb, lca: Option[Lca], cp: ClassifyParams)
+      : (String, Int, Array[Long]) => ReadResult = {
+    val counts = new Array[Int](d.targets.length)
+    (id, len, hs) => classifyOne(id, len, hs, d, cp, lca, counts)
+  }
+
   /** Shared probe stage over precomputed (read_id, byte-len, shingle set)
     * rows — the single- and paired-read projections both feed this. */
   private[graft] def classifyHashed(spark: SparkSession,
@@ -96,12 +104,8 @@ object Classify {
     val dbB = spark.sparkContext.broadcast(db)
     val lcaB = spark.sparkContext.broadcast(lcaOpt)
     hashed.mapPartitions { iter =>
-      val d = dbB.value
-      val lca = lcaB.value
-      val counts = new Array[Int](d.targets.length)
-      iter.map { case (id, len, hs) =>
-        classifyOne(id, len, hs, d, cp, lca, counts)
-      }
+      val one = rowClassifier(dbB.value, lcaB.value, cp)
+      iter.map { case (id, len, hs) => one(id, len, hs) }
     }
   }
 
@@ -294,29 +298,38 @@ object Classify {
    * results with `sample` as the leading column; feed [[reportBySample]] /
    * [[staBySample]] for the per-prefix `.rep`/`.sta`.
    */
+  /** @param content2Col optional paired mate column: when set, each read
+    *        hashes to the mates' distinct UNION (classifyPaired semantics);
+    *        rows with a null mate degrade to single-end. */
   def classifyBySample(spark: SparkSession, reads: DataFrame,
       sampleCol: String, idCol: String, contentCol: String, db: ProbeDb,
       cp: ClassifyParams = ClassifyParams(),
-      lcaOpt: Option[Lca] = None): DataFrame = {
+      lcaOpt: Option[Lca] = None,
+      content2Col: Option[String] = None): DataFrame = {
     import spark.implicits._
     val dbB = spark.sparkContext.broadcast(db)
     val lcaB = spark.sparkContext.broadcast(lcaOpt)
-    val shExpr = graft.spark.ShinglesExpr.col(
-      coalesce(col(contentCol), lit("")), db.params.k, db.params.w,
-      db.params.seed)
+    val p = db.params
+    val hsCol = content2Col match {
+      case Some(c2) => graft.spark.GraftFunctions.pairedShingles(
+        coalesce(col(contentCol), lit("")), coalesce(col(c2), lit("")),
+        p.k, p.w, p.seed)
+      case None => graft.spark.ShinglesExpr.col(
+        coalesce(col(contentCol), lit("")), p.k, p.w, p.seed)
+    }
+    val lenCol = content2Col match {
+      case Some(c2) => coalesce(octet_length(col(contentCol)), lit(0)) +
+        coalesce(octet_length(col(c2)), lit(0))
+      case None => coalesce(octet_length(col(contentCol)), lit(0))
+    }
     reads
       .select(col(sampleCol).cast("string").as("sample"),
         col(idCol).cast("string").as("read_id"),
-        coalesce(octet_length(col(contentCol)), lit(0)).as("len"),
-        shExpr.as("hs"))
+        lenCol.as("len"), hsCol.as("hs"))
       .as[(String, String, Int, Array[Long])]
       .mapPartitions { iter =>
-        val d = dbB.value
-        val lca = lcaB.value
-        val counts = new Array[Int](d.targets.length)
-        iter.map { case (sample, id, len, hs) =>
-          (sample, classifyOne(id, len, hs, d, cp, lca, counts))
-        }
+        val one = rowClassifier(dbB.value, lcaB.value, cp)
+        iter.map { case (sample, id, len, hs) => (sample, one(id, len, hs)) }
       }.toDF("sample", "r")
       .select(col("sample"), col("r.*"))
   }

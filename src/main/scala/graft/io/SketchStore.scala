@@ -17,8 +17,13 @@ import graft.core.sketch.{Bloom, InterleavedBloom}
  *   bins.parquet        (target, n_hashes, base, split) — the bin map
  *   manifest.parquet    (version, layout, k, w, seed, maxFp, hllP,
  *                        minContentLen, sizingMode, bitsPerBin, numHashes,
- *                        maxHashesBin, numBins, ibf) — written LAST, so a
- *                        partially-written store is never loadable
+ *                        maxHashesBin, numBins, ibf) — written LAST
+ *   _IN_PROGRESS        fence marker: created before any mutation of an
+ *                        existing store (rebuild-in-place, updateStored's
+ *                        in-place blob rewrites), cleared by writeManifest
+ *                        (the commit point). Loaders fail fast on it, so
+ *                        neither a half-written NEW store nor an old
+ *                        manifest over half-mutated blobs is ever loadable
  *
  * Bin metadata stays relational (queryable/joinable); bit-matrices ride as
  * binary cells/blobs. The raw per-group blobs are the single source of
@@ -34,6 +39,9 @@ object SketchStore {
   private[graft] def writeManifest(spark: SparkSession, db: SplitBinDb,
       layout: String, ibfBytes: Array[Byte], dir: String): Unit = {
     import spark.implicits._
+    // fence readers while bins/manifest are replaced; cleared at the end —
+    // the store's single commit point
+    markInProgress(spark.sparkContext.hadoopConfiguration, dir)
     val bins = db.targets.indices.map { i =>
       (db.targets(i), db.targetHashes(i), db.layout.base(i), db.layout.split(i))
     }.toDF("target", "n_hashes", "base", "split")
@@ -47,6 +55,7 @@ object SketchStore {
         "num_hashes", "max_hashes_bin", "num_bins", "ibf")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/manifest.parquet")
+    clearInProgress(spark.sparkContext.hadoopConfiguration, dir)
   }
 
   def save(spark: SparkSession, db: SketchDb, dir: String): Unit =
@@ -63,10 +72,44 @@ object SketchStore {
 
   private[graft] def writeShardBlob(conf: org.apache.hadoop.conf.Configuration,
       shardDir: String, g: Int, bytes: Array[Byte]): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
-    val fs = path.getFileSystem(conf)
-    val out = fs.create(path, true)
+    val dest = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
+    val fs = dest.getFileSystem(conf)
+    // write-then-rename: rename is atomic, so concurrent writers of the
+    // same group (task retries, speculative attempts) can never interleave
+    // bytes in the destination. Both attempts produce identical blobs (the
+    // per-group aggregation is deterministic), so either winner is correct;
+    // the brief missing-file window is only reachable during a build/update,
+    // which the _IN_PROGRESS marker already fences off from readers.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$shardDir/.grp_$g.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(dest))
+        throw new java.io.IOException(s"failed to commit shard blob $dest")
+    }
+  }
+
+  private def marker(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_IN_PROGRESS")
+
+  /** Fence the store while a build/update mutates it: readers fail fast on
+    * the marker instead of loading a half-written/half-mutated db (the
+    * manifest-last discipline alone cannot protect in-place blob rewrites
+    * or a rebuild into a dir that already holds an older manifest). */
+  private[graft] def markInProgress(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): Unit = {
+    val m = marker(dir)
+    m.getFileSystem(conf).create(m, true).close()
+  }
+
+  /** Cleared by writeManifest — the single commit point. */
+  private def clearInProgress(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): Unit = {
+    val m = marker(dir)
+    m.getFileSystem(conf).delete(m, false)
   }
 
   /** Read one raw shard blob; None if the group has no file (a group whose
@@ -102,6 +145,11 @@ object SketchStore {
 
   private def readManifest(spark: SparkSession, dir: String)
       : (IbfParams, BinLayout, IbfPlan, Array[String], Array[Long], Array[Byte], String) = {
+    val mk = marker(dir)
+    if (mk.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mk))
+      throw new IllegalStateException(
+        s"sketch store $dir has an interrupted build/update (_IN_PROGRESS " +
+          "present) — its blobs may be half-mutated; rebuild or restore it")
     val m = spark.read.parquet(s"$dir/manifest.parquet").head()
     val version = m.getAs[Int]("version")
     require(version == FormatVersion, s"unsupported version $version")

@@ -138,6 +138,16 @@ object GraftFunctions {
         s"$what must be a numeric literal, got $x")
     }
   }
+  private def evalBoolArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Boolean = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case b: java.lang.Boolean => b
+      case x => throw new IllegalArgumentException(
+        s"$what must be a boolean literal, got $x")
+    }
+  }
 
   /** Register the engine's functions for spark.sql use. */
   def register(spark: SparkSession): Unit = {
@@ -156,7 +166,7 @@ object GraftFunctions {
       "graft_minhash_sig",
       es => MinhashSigExpr(es.head, evalIntArg(es(1), "numPerms"),
         if (es.length > 2) evalLongArg(es(2), "seed") else Hashing.DefaultSeed,
-        oph = es.length <= 3 || es(3).eval() == true),
+        oph = es.length <= 3 || evalBoolArg(es(3), "oph")),
       "scala_udf")
     spark.udf.register("graft_hash64", hash64Udf)
     spark.udf.register("graft_simhash", simhashUdf)
@@ -167,6 +177,10 @@ object GraftFunctions {
     spark.udf.register("graft_hll_sketch", udaf(new HllSketchAgg(14)))
     spark.udf.register("graft_cms_sketch", udaf(new CmsSketchAgg(7, 8192)))
     spark.udf.register("graft_kll_sketch", udaf(new KllSketchAgg(256)))
+    // UDAF registration fixes constructor params at registration time, so
+    // the SQL surface carries the library default cap (10000); a different
+    // maxBucket needs the Scala API (GraftFunctions.minKIds(col, k)) or a
+    // re-registration under another name
     spark.udf.register("graft_min_k_ids", udaf(new MinKIdsAgg(10000)))
   }
 }

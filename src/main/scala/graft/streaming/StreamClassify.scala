@@ -67,6 +67,9 @@ object StreamClassify {
   def dedupStream(stream: DataFrame, contentCol: String,
       tsCol: Option[String] = None,
       watermark: Option[String] = None): DataFrame = {
+    require(tsCol.isDefined == watermark.isDefined,
+      "tsCol and watermark must be supplied together — a lone watermark " +
+        "would silently fall back to UNBOUNDED dedup state")
     val keyed = stream.withColumn("digest", sha2(col(contentCol), 256))
     (tsCol, watermark) match {
       case (Some(ts), Some(wm)) =>

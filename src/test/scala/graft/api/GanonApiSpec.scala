@@ -114,6 +114,50 @@ class GanonApiSpec extends AnyFunSuite {
       sta.agg(sum("seq_classified")).first().getLong(0) == 80L)
   }
 
+  test("facade: PAIRED batch manifest hashes the mates' union") {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    val mdir = "/tmp/graft_api_paired_manifest"
+    deleteRec(new java.io.File(mdir))
+    // w == k so gram sets are exact: each read's mates carry DISJOINT
+    // halves of its content; classifying on mate 1 alone could never reach
+    // full containment of the own bin, so relCutoff = 1.0 passing for all
+    // reads proves the union actually includes mate 2
+    val pk = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+    val reads = corpus.limit(40).select($"path".as("id"), $"repo", $"content")
+      .cache()
+    val db = Ganon.build(spark, reads, "repo", "content", pk)
+    reads.select($"id",
+        expr("substring(content, 1, cast(length(content)/2 as int))")
+          .as("content"))
+      .write.parquet(s"$mdir/m1.parquet")
+    reads.select($"id",
+        expr("substring(content, cast(length(content)/2 as int)+1, length(content))")
+          .as("content"))
+      .write.parquet(s"$mdir/m2.parquet")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$mdir/m.tsv"),
+      s"sP\t$mdir/m1.parquet\t$mdir/m2.parquet\n")
+    val manifest = graft.io.Formats.readBatchManifest(spark, s"$mdir/m.tsv")
+    val (res, _, sta) = Ganon.classifyBatch(spark, manifest, "id",
+      "content", db, ClassifyParams(relCutoff = 1.0, fprQuery = 1.0))
+    assert(sta.first().getAs[Long]("seq_classified") == 40L)
+    // the per-read hash set must equal the mates' distinct union
+    val nh = res.select("read_id", "n_hashes").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val texts = reads.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    nh.foreach { case (id, n) =>
+      val full = texts(id)
+      val cut = full.length / 2
+      val union = graft.core.Hashing.sortedDistinct(
+        graft.core.Hashing.shingles(full.substring(0, cut), 8, 8) ++
+          graft.core.Hashing.shingles(full.substring(cut), 8, 8))
+      assert(n == union.length, s"read $id")
+    }
+    reads.unpersist()
+  }
+
   test("two-level store roundtrip classifies identically") {
     val two = Ganon.build(spark, corpus, "repo", "content", p, twoLevel = true)
     val dir = java.nio.file.Files.createTempDirectory("graft_api2").toString

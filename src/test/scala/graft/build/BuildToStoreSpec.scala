@@ -64,6 +64,36 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("interrupted build/update fences loaders (_IN_PROGRESS fail-fast)") {
+    val docs = graft.synth.Corpus.df(spark, 120, numRepos = 6, partitions = 2)
+    val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
+    val dir = freshDir("fence")
+    SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
+    // loads fine after commit...
+    graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    // ...but a crash between mark and manifest leaves the marker: loaders
+    // must refuse rather than serve half-mutated blobs
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/_IN_PROGRESS"))
+    intercept[IllegalStateException] {
+      graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    }
+    intercept[IllegalStateException] {
+      graft.io.SketchStore.loadAny(spark, dir)
+    }
+    // an update refuses a fenced store too (it loads the db first)
+    intercept[IllegalStateException] {
+      SketchBuild.updateStored(spark, dir, null, "repo", "content")
+    }
+    // after restore (marker removed), a completed update commits cleanly
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_IN_PROGRESS"))
+    val upd = SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(docs.select("repo").distinct().orderBy("repo")
+        .first().getString(0)))
+    assert(graft.io.SketchStore.loadTwoLevelLazy(spark, dir).targets.length ==
+      upd.targets.length)
+  }
+
   test("persistShingles build: bit-identical to the two-scan build") {
     val docs = graft.synth.Corpus.df(spark, 400, numRepos = 12, partitions = 4)
       .cache()
