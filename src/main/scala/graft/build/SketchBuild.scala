@@ -179,13 +179,11 @@ final class TwoLevelSketchDb(
 
   private val groupCutoffSafe = !layout.anyGroupSpanning
 
-  // per-thread coarse/fine count scratch — the probe runs once per READ,
+  // per-thread coarse count scratch — the probe runs once per READ,
   // so per-row allocation here is pure GC churn (same discipline as
   // techScratch)
   @transient private lazy val gcScratch: ThreadLocal[Array[Int]] =
     ThreadLocal.withInitial(() => new Array[Int](shards.length))
-  @transient private lazy val localScratch: ThreadLocal[Array[Int]] =
-    ThreadLocal.withInitial(() => new Array[Int](64))
 
   def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
     val gc = gcScratch.get()
@@ -194,20 +192,37 @@ final class TwoLevelSketchDb(
     val effCutoff = if (groupCutoffSafe) cutoff else 1
     val tech = techScratch.get()
     java.util.Arrays.fill(tech, 0)
+    // every shard shares (bitsPerBin, numHashes): derive each hash's probe
+    // rows ONCE into a matrix, then sweep the surviving shards GROUP-MAJOR
+    // (one shard's ~bitsPerBin/8-byte word array stays cache-resident for
+    // the whole hash sweep; a hash-major walk across shards thrashes)
+    var any = false
     var g = 0
-    while (g < shards.length) {
-      if (gc(g) >= effCutoff) {
-        val nLocal = shards(g).numBins
-        val local = localScratch.get()
-        java.util.Arrays.fill(local, 0, nLocal, 0)
-        shards(g).bulkCount(hashes, local)
-        val off = g * 64
-        var i = 0
-        while (i < nLocal) { tech(off + i) += local(i); i += 1 }
+    while (g < shards.length && !any) { any = gc(g) >= effCutoff; g += 1 }
+    if (any) {
+      val rows = rowMatrix(hashes.length)
+      InterleavedBloom.probeRowsAll(hashes, plan.bitsPerBin, plan.numHashes,
+        rows)
+      g = 0
+      while (g < shards.length) {
+        if (gc(g) >= effCutoff)
+          shards(g).countAtRowsMatrix1(rows, hashes.length, tech, g * 64)
+        g += 1
       }
-      g += 1
     }
     foldToTargets(tech, counts)
+  }
+
+  // grow-on-demand per-thread position matrix (n_hashes x numHashes ints)
+  @transient private lazy val rowScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](1024 * plan.numHashes))
+  private def rowMatrix(n: Int): Array[Int] = {
+    var m = rowScratch.get()
+    if (m.length < n * plan.numHashes) {
+      m = new Array[Int](n * plan.numHashes)
+      rowScratch.set(m)
+    }
+    m
   }
 
   def sizeBytes: Long = coarse.sizeBytes + shards.map(_.sizeBytes).sum
@@ -286,8 +301,16 @@ final class LazyTwoLevelDb(
   // per-thread count scratch — probe runs per read (see TwoLevelSketchDb)
   @transient private lazy val gcScratch: ThreadLocal[Array[Int]] =
     ThreadLocal.withInitial(() => new Array[Int](layout.numGroups))
-  @transient private lazy val localScratch: ThreadLocal[Array[Int]] =
-    ThreadLocal.withInitial(() => new Array[Int](64))
+  @transient private lazy val rowScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](1024 * plan.numHashes))
+  private def rowMatrix(n: Int): Array[Int] = {
+    var m = rowScratch.get()
+    if (m.length < n * plan.numHashes) {
+      m = new Array[Int](n * plan.numHashes)
+      rowScratch.set(m)
+    }
+    m
+  }
 
   def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
     val gc = gcScratch.get()
@@ -296,18 +319,22 @@ final class LazyTwoLevelDb(
     val effCutoff = if (groupCutoffSafe) cutoff else 1
     val tech = techScratch.get()
     java.util.Arrays.fill(tech, 0)
+    // group-major with the shared position matrix (see
+    // TwoLevelSketchDb.probe); first probe of a group fetches its shard
+    // from the store
+    var any = false
     var g = 0
-    while (g < layout.numGroups) {
-      if (gc(g) >= effCutoff) {
-        val sh = shard(g)
-        val local = localScratch.get()
-        java.util.Arrays.fill(local, 0, sh.numBins, 0)
-        sh.bulkCount(hashes, local)
-        val off = g * 64
-        var i = 0
-        while (i < sh.numBins) { tech(off + i) += local(i); i += 1 }
+    while (g < layout.numGroups && !any) { any = gc(g) >= effCutoff; g += 1 }
+    if (any) {
+      val rows = rowMatrix(hashes.length)
+      InterleavedBloom.probeRowsAll(hashes, plan.bitsPerBin, plan.numHashes,
+        rows)
+      g = 0
+      while (g < layout.numGroups) {
+        if (gc(g) >= effCutoff)
+          shard(g).countAtRowsMatrix1(rows, hashes.length, tech, g * 64)
+        g += 1
       }
-      g += 1
     }
     foldToTargets(tech, counts)
   }

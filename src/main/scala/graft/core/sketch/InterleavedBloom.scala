@@ -58,25 +58,59 @@ final class InterleavedBloom(
       val h1 = Hashing.mix64(hash)
       val h2 = Hashing.mix64(hash ^ 0x9E3779B97F4A7C15L) | 1L
       val off0 = rowOf(h1, h2, 0) * wordsPerRow
+      var any = 0L
       var w = 0
-      while (w < wordsPerRow) { tmp(w) = words(off0 + w); w += 1 }
+      while (w < wordsPerRow) { tmp(w) = words(off0 + w); any |= tmp(w); w += 1 }
       var i = 1
-      while (i < numHashes) {
+      // early exit: once the AND is all-zero nothing can resurrect a bit —
+      // most hashes miss most bins, so this usually fires on row 2-3 and
+      // cuts the wide-row (>64 bins) probe cost roughly in half
+      while (i < numHashes && any != 0L) {
         val off = rowOf(h1, h2, i) * wordsPerRow
+        any = 0L
         w = 0
-        while (w < wordsPerRow) { tmp(w) &= words(off + w); w += 1 }
+        while (w < wordsPerRow) { tmp(w) &= words(off + w); any |= tmp(w); w += 1 }
         i += 1
       }
-      w = 0
-      while (w < wordsPerRow) {
-        var bits = tmp(w)
-        while (bits != 0L) {
-          val b = java.lang.Long.numberOfTrailingZeros(bits)
-          val bin = (w << 6) + b
-          if (bin < numBins) counts(bin) += 1
-          bits &= bits - 1
+      if (any != 0L) {
+        w = 0
+        while (w < wordsPerRow) {
+          var bits = tmp(w)
+          while (bits != 0L) {
+            val b = java.lang.Long.numberOfTrailingZeros(bits)
+            val bin = (w << 6) + b
+            if (bin < numBins) counts(bin) += 1
+            bits &= bits - 1
+          }
+          w += 1
         }
-        w += 1
+      }
+      hi += 1
+    }
+  }
+
+  /** One-word-per-row bulk count over a PRECOMPUTED position matrix
+    * (`rowsFlat(hi*numHashes + i)` = row of hash hi's i-th probe, filled
+    * once by [[InterleavedBloom.probeRowsAll]]): a two-level probe derives
+    * every hash's positions ONCE and re-scans this shard group-major —
+    * the layout's shards share (bitsPerBin, numHashes), and one shard's
+    * word array (~bitsPerBin/8 bytes) stays cache-resident across the
+    * whole hash sweep, unlike a hash-major walk across many shards. Set
+    * bins accumulate into counts at `off`. */
+  def countAtRowsMatrix1(rowsFlat: Array[Int], nHashes: Int,
+      counts: Array[Int], off: Int): Unit = {
+    var hi = 0
+    while (hi < nHashes) {
+      val base = hi * numHashes
+      var acc = words(rowsFlat(base))
+      var i = 1
+      while (i < numHashes && acc != 0L) {
+        acc &= words(rowsFlat(base + i)); i += 1
+      }
+      while (acc != 0L) {
+        val b = java.lang.Long.numberOfTrailingZeros(acc)
+        if (b < numBins) counts(off + b) += 1
+        acc &= acc - 1
       }
       hi += 1
     }
@@ -189,6 +223,28 @@ final class InterleavedBloom(
 }
 
 object InterleavedBloom {
+
+  /** Fill `rowsFlat` (length >= hashes.length*numHashes) with every
+    * hash's probe rows for filters of (bitsPerBin, numHashes) —
+    * bit-identical to the instance rowOf math, factored out so a layout's
+    * shards share ONE position derivation per read. */
+  def probeRowsAll(hashes: Array[Long], bitsPerBin: Long, numHashes: Int,
+      rowsFlat: Array[Int]): Unit = {
+    var hi = 0
+    while (hi < hashes.length) {
+      val hash = hashes(hi)
+      val h1 = Hashing.mix64(hash)
+      val h2 = Hashing.mix64(hash ^ 0x9E3779B97F4A7C15L) | 1L
+      val base = hi * numHashes
+      var i = 0
+      while (i < numHashes) {
+        rowsFlat(base + i) = Hashing.fastRange(h1 + i.toLong * h2, bitsPerBin).toInt
+        i += 1
+      }
+      hi += 1
+    }
+  }
+
   def empty(numBins: Int, bitsPerBin: Long, numHashes: Int): InterleavedBloom = {
     val binsRounded = ((numBins + 63) / 64) * 64
     new InterleavedBloom(numBins, bitsPerBin, numHashes,
