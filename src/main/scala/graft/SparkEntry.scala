@@ -1016,8 +1016,10 @@ object SparkEntry {
           java.nio.file.Paths.get(s"$dir/documents.parquet"))
       val schema = t(s, dir, "documents").schema
       val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      // the state key is the binary digest; project to lowercase hex for
+      // the DuckDB sha256 comparison
       val out = graft.streaming.StreamClassify.dedupStream(stream, "text")
-        .select(col("digest"))
+        .select(lower(hex(col("digest"))).as("digest"))
       val qname = "graft_stream_dedup_" + math.abs(dir.hashCode)
       val q = out.writeStream.outputMode("append").format("memory")
         .queryName(qname).start()

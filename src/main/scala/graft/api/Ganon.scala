@@ -83,9 +83,14 @@ object Ganon {
     val reads = Formats.readsFromManifest(spark, manifest, idCol, contentCol)
     // paired manifest rows carry their mate in content2 (null for
     // single-end rows, which degrade to mate-1-only hashing) — the read's
-    // hash set is the mates' distinct union, as in classifyPaired
+    // hash set is the mates' distinct union, as in classifyPaired. Purely
+    // single-end manifests keep the codegen single-shingle fast path.
+    val hasPaired =
+      !manifest.filter(org.apache.spark.sql.functions.col("file2").isNotNull)
+        .isEmpty
     val res = Classify.classifyBySample(spark, reads, "sample", idCol,
-      contentCol, db, params, lca, content2Col = Some("content2"))
+      contentCol, db, params, lca,
+      content2Col = if (hasPaired) Some("content2") else None)
     (res, Classify.reportBySample(res), Classify.staBySample(res))
   }
 

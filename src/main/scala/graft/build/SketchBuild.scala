@@ -112,6 +112,19 @@ private[graft] trait SplitBinDb extends ProbeDb {
   @transient protected lazy val techScratch: ThreadLocal[Array[Int]] =
     ThreadLocal.withInitial(() => new Array[Int](layout.numBins))
 
+  // grow-on-demand per-thread position matrix (n_hashes x numHashes ints)
+  // shared by both two-level probe variants
+  @transient private lazy val rowScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](1024 * plan.numHashes))
+  protected def rowMatrix(n: Int): Array[Int] = {
+    var m = rowScratch.get()
+    if (m.length < n * plan.numHashes) {
+      m = new Array[Int](n * plan.numHashes)
+      rowScratch.set(m)
+    }
+    m
+  }
+
   /** Fold technical-bin counts into per-target counts (+=). */
   protected def foldToTargets(tech: Array[Int], counts: Array[Int]): Unit = {
     var t = 0
@@ -213,18 +226,6 @@ final class TwoLevelSketchDb(
     foldToTargets(tech, counts)
   }
 
-  // grow-on-demand per-thread position matrix (n_hashes x numHashes ints)
-  @transient private lazy val rowScratch: ThreadLocal[Array[Int]] =
-    ThreadLocal.withInitial(() => new Array[Int](1024 * plan.numHashes))
-  private def rowMatrix(n: Int): Array[Int] = {
-    var m = rowScratch.get()
-    if (m.length < n * plan.numHashes) {
-      m = new Array[Int](n * plan.numHashes)
-      rowScratch.set(m)
-    }
-    m
-  }
-
   def sizeBytes: Long = coarse.sizeBytes + shards.map(_.sizeBytes).sum
 }
 
@@ -301,16 +302,6 @@ final class LazyTwoLevelDb(
   // per-thread count scratch — probe runs per read (see TwoLevelSketchDb)
   @transient private lazy val gcScratch: ThreadLocal[Array[Int]] =
     ThreadLocal.withInitial(() => new Array[Int](layout.numGroups))
-  @transient private lazy val rowScratch: ThreadLocal[Array[Int]] =
-    ThreadLocal.withInitial(() => new Array[Int](1024 * plan.numHashes))
-  private def rowMatrix(n: Int): Array[Int] = {
-    var m = rowScratch.get()
-    if (m.length < n * plan.numHashes) {
-      m = new Array[Int](n * plan.numHashes)
-      rowScratch.set(m)
-    }
-    m
-  }
 
   def probe(hashes: Array[Long], counts: Array[Int], cutoff: Int): Unit = {
     val gc = gcScratch.get()
@@ -822,6 +813,13 @@ object SketchBuild {
    * the delta aggregation is distributed and each touched group's
    * OR-merge + rewrite happens on the executor that aggregated it.
    * The manifest is rewritten last.
+   *
+   * Concurrency: blob commits are atomic overwrite-renames, so a reader
+   * never sees a torn or missing blob — but a LazyTwoLevelDb loaded
+   * BEFORE an update may observe a mix of pre/post-update shards for the
+   * duration (its coarse filter predates the update). Don't update a
+   * store while queries against it are in flight; the _IN_PROGRESS fence
+   * protects loads, not already-loaded handles.
    */
   def updateStored(spark: SparkSession, dir: String, addDf: DataFrame,
       targetCol: String, contentCol: String,

@@ -62,8 +62,11 @@ object SketchStore {
     writeManifest(spark, db, "flat", db.ibf.toBytes, dir)
 
   def saveTwoLevel(spark: SparkSession, db: TwoLevelSketchDb, dir: String): Unit = {
-    // blobs first, manifest last (see layout note above)
+    // fence BEFORE the first blob overwrite (saving over an existing store
+    // is a mutation like any other); blobs first, manifest last — which
+    // clears the fence (see layout note above)
     val conf = spark.sparkContext.hadoopConfiguration
+    markInProgress(conf, dir)
     db.shards.zipWithIndex.foreach { case (shard, g) =>
       writeShardBlob(conf, s"$dir/shards", g, shard.toBytes)
     }
@@ -74,21 +77,25 @@ object SketchStore {
       shardDir: String, g: Int, bytes: Array[Byte]): Unit = {
     val dest = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
     val fs = dest.getFileSystem(conf)
-    // write-then-rename: rename is atomic, so concurrent writers of the
-    // same group (task retries, speculative attempts) can never interleave
-    // bytes in the destination. Both attempts produce identical blobs (the
-    // per-group aggregation is deterministic), so either winner is correct;
-    // the brief missing-file window is only reachable during a build/update,
-    // which the _IN_PROGRESS marker already fences off from readers.
+    // write-then-OVERWRITE-rename (FileContext, atomic on HDFS/posix):
+    // concurrent writers of the same group (task retries, speculative
+    // attempts) can never interleave bytes in the destination, and there
+    // is NO missing-file window — a reader racing the commit sees the old
+    // blob or the new one, never nothing. That also makes updateStored's
+    // read-modify-write safe under duplicate attempts: an attempt reads
+    // either the pre- or post-merge blob and OR is idempotent either way.
     val tmp = new org.apache.hadoop.fs.Path(
       s"$shardDir/.grp_$g.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      if (!fs.exists(dest))
-        throw new java.io.IOException(s"failed to commit shard blob $dest")
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+        .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        fs.delete(tmp, false)
+        if (!fs.exists(dest))
+          throw new java.io.IOException(s"failed to commit shard blob $dest", e)
     }
   }
 

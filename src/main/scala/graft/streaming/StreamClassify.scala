@@ -57,7 +57,8 @@ object StreamClassify {
   /**
    * Streaming exact dedup: keep the FIRST occurrence of each content
    * digest across micro-batches (the training-pipeline dedup gate, run
-   * continuously). State is one 32-byte digest per distinct content —
+   * continuously). The dedup key is the BINARY 32-byte sha-256 (not its
+   * 64-char hex), so state is one 32-byte key per distinct content —
    * content bytes never enter the state store. With a watermark the state
    * is BOUNDED (`dropDuplicatesWithinWatermark`): duplicates separated by
    * more than the watermark re-emit, the standard tradeoff for unbounded
@@ -70,7 +71,7 @@ object StreamClassify {
     require(tsCol.isDefined == watermark.isDefined,
       "tsCol and watermark must be supplied together — a lone watermark " +
         "would silently fall back to UNBOUNDED dedup state")
-    val keyed = stream.withColumn("digest", sha2(col(contentCol), 256))
+    val keyed = stream.withColumn("digest", unhex(sha2(col(contentCol), 256)))
     (tsCol, watermark) match {
       case (Some(ts), Some(wm)) =>
         keyed.withColumn("__ts", col(ts).cast("timestamp"))

@@ -34,16 +34,10 @@ object StoreBench {
     corpus.count()
     val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
     val dir = "/tmp/graft_storebench_db"
-    val cp = ClassifyParams(relCutoff = 0.25)
 
     def buildMem() = SketchBuild.build(spark, corpus, "tgt", "content", p)
     def buildStore() = SketchBuild.buildToStore(spark, corpus, "tgt",
       "content", dir, p)
-    def classifyWith(db: graft.build.ProbeDb): Unit = {
-      Classify.classify(spark, corpus, "path", "content", db, cp)
-        .toDF().agg(sum(size(col("matches")))).first()
-    }
-
     def classifyAt(db: graft.build.ProbeDb, rc: Double): Unit = {
       Classify.classify(spark, corpus, "path", "content", db,
         ClassifyParams(relCutoff = rc))
@@ -52,12 +46,12 @@ object StoreBench {
 
     // warm
     var flat = buildMem(); var lazyDb = buildStore()
-    classifyWith(flat); classifyWith(lazyDb)
+    classifyAt(flat, 0.25); classifyAt(lazyDb, 0.25)
     (1 to reps).foreach { _ =>
       val tMem = time { flat = buildMem() }
       val tStore = time { lazyDb = buildStore() }
-      val tCf = time { classifyWith(flat) }
-      val tCl = time { classifyWith(lazyDb) }
+      val tCf = time { classifyAt(flat, 0.25) }
+      val tCl = time { classifyAt(lazyDb, 0.25) }
       // selective regime: a strict cutoff kills the cross-lang matches, so
       // few bins survive and the probe (not the per-survivor threshold
       // math) is the cost — the case two-level pruning exists for
