@@ -64,6 +64,29 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("updateStored: growing EXISTING targets routes into their bins") {
+    // base store holds half of every repo's rows; the delta adds the other
+    // half for the SAME targets (the existingAdds path: delta hashes must
+    // OR into the targets' existing bins, not new ones)
+    val docs = graft.synth.Corpus.df(spark, 600, numRepos = 12, partitions = 4)
+      .withColumn("half", pmod(xxhash64(col("path")), lit(2)) === 0)
+      .cache()
+    val p = IbfParams(k = 19, w = 31, maxFp = 1e-5)
+    val dir = freshDir("grow")
+    val base = SketchBuild.buildToStore(spark,
+      docs.filter(col("half")), "repo", "content", dir, p)
+    val grown = SketchBuild.updateStored(spark, dir,
+      docs.filter(!col("half")), "repo", "content",
+      persistShingles = true)
+    // no new bins were allocated (same targets, frozen plan)...
+    assert(grown.layout.numBins == base.layout.numBins)
+    // ...and every read now fully contains its own repo bin, matching a
+    // fresh full build (FP-immune full-containment check, as in q50)
+    val fresh = SketchBuild.build(spark, docs, "repo", "content", p)
+    assert(matches(grown, docs) == matches(fresh, docs))
+    docs.unpersist()
+  }
+
   test("interrupted build/update fences loaders (_IN_PROGRESS fail-fast)") {
     val docs = graft.synth.Corpus.df(spark, 120, numRepos = 6, partitions = 2)
     val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
