@@ -97,6 +97,15 @@ object Ganon {
   def save(spark: SparkSession, db: ProbeDb, dir: String): Unit = db match {
     case flat: SketchDb => SketchStore.save(spark, flat, dir)
     case two: TwoLevelSketchDb => SketchStore.saveTwoLevel(spark, two, dir)
+    case _: graft.build.LazyTwoLevelDb =>
+      throw new IllegalArgumentException(
+        "this db is already store-backed (buildToStore/updateStored return " +
+          "a lazy handle over its store directory); there is nothing to " +
+          "save — load it elsewhere with Ganon.load(dir)")
+    case other =>
+      throw new IllegalArgumentException(
+        s"cannot save a ${other.getClass.getSimpleName}: only in-memory " +
+          "SketchDb/TwoLevelSketchDb persist via save")
   }
 
   def load(spark: SparkSession, dir: String): ProbeDb =

@@ -69,11 +69,14 @@ object Formats {
   /**
    * Materialize a batch manifest (readBatchManifest shape) into ONE tagged
    * reads frame: each row's file1 parquet is read and tagged with its
-   * `sample`; a non-null file2 is the paired mate table, joined on idCol
-   * into a `content2` column (the reference pairs mates positionally from
-   * twin FASTQ files, GanonClassify.cpp:289-351 — a keyed join is the
-   * relational equivalent). The union feeds Classify.classifyBySample, so
-   * a multi-sample run is one Spark job, not a per-prefix rerun.
+   * `sample`; a non-null file2 is the paired mate table, LEFT-joined on
+   * idCol into a `content2` column (the reference pairs mates positionally
+   * from twin FASTQ files, GanonClassify.cpp:289-351 — a keyed join is the
+   * relational equivalent). The join is LEFT so a read present in file1
+   * but missing its mate in file2 degrades to single-end (content2 null,
+   * which classifyBySample handles) instead of silently vanishing from
+   * classification. The union feeds Classify.classifyBySample, so a
+   * multi-sample run is one Spark job, not a per-prefix rerun.
    */
   def readsFromManifest(spark: SparkSession, manifest: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
@@ -86,7 +89,8 @@ object Formats {
       val base = Option(r.getAs[String]("file2")) match {
         case Some(f2path) =>
           f1.join(spark.read.parquet(f2path)
-            .select(col(idCol), col(contentCol).as("content2")), Seq(idCol))
+            .select(col(idCol), col(contentCol).as("content2")), Seq(idCol),
+            "left")
         case None =>
           f1.withColumn("content2", lit(null).cast("string"))
       }

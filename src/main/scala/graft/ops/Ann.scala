@@ -81,11 +81,24 @@ object Ann {
    * to it (the planted pairs here land at cosine 0.501 vs t=0.5 — any
    * bounded table count misses them with nonzero probability). For the
    * high-threshold approximate regime use [[lshNearDupPairs]].
+   *
+   * The O(n²) compute is a deliberate cost of the exact semantics, so the
+   * call REFUSES inputs above `maxRows` (default 1M ≈ 5·10¹¹ compares)
+   * unless `force = true` — the guard makes the quadratic footgun explicit
+   * instead of letting a casual caller launch a month-long job; the error
+   * points at the approximate scale path.
    */
   def cosineNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, blocks: Int = 0): DataFrame = {
+      vecCol: String, threshold: Double, blocks: Int = 0,
+      maxRows: Long = 1L << 20, force: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val n = v.count()
+    require(force || n <= maxRows,
+      s"cosineNearDupPairs is EXACT and O(n^2): n=$n rows exceed " +
+        s"maxRows=$maxRows (~${n * n / 2} vector compares). Use " +
+        "lshNearDupPairs (bucketed LSH + exact verify, the scale path) " +
+        "unless you truly need exact epsilon-close-threshold completeness; " +
+        "then pass force = true.")
     val parts = spark.sparkContext.defaultParallelism
     val b =
       if (blocks > 0) blocks

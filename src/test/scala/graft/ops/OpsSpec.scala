@@ -132,6 +132,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got3 == expect)
   }
 
+  test("ann: exact cosine pairs refuse above maxRows unless forced") {
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.cosineNearDupPairs(spark, df, "vec_id", "embedding", 0.9,
+        maxRows = 10)
+    }
+    assert(e.getMessage.contains("lshNearDupPairs"))
+    // force = true runs the guarded call (same answer as unguarded)
+    val forced = Ann.cosineNearDupPairs(spark, df, "vec_id", "embedding", 0.9,
+      maxRows = 10, force = true).count()
+    val free = Ann.cosineNearDupPairs(spark, df, "vec_id", "embedding", 0.9)
+      .count()
+    assert(forced == free)
+  }
+
   test("ann: lsh near-dup pairs find high-cosine plants") {
     // 20 planted near-identical pairs (cosine ~0.99) among 200 random rows
     val base = (0 until 200).map { i =>

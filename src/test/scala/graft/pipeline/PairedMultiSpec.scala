@@ -144,6 +144,30 @@ class PairedMultiSpec extends AnyFunSuite {
     assert(new java.io.File(s"$base/rep/sample=sampleB").exists())
   }
 
+  test("manifest pairing: a mate-less read degrades to single-end") {
+    // file1 has ids {1,2}, file2 only id 1: read 2 must survive with a
+    // null content2 (single-end degrade), not vanish from classification
+    val base = "/tmp/graft_manifest_mateless"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(base))
+    Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("id", "content").write.parquet(s"$base/r1.parquet")
+    Seq((1L, "alpha beta gamma delta"))
+      .toDF("id", "content").write.parquet(s"$base/r2.parquet")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/m.tsv"),
+      s"sA\t$base/r1.parquet\t$base/r2.parquet\n")
+    val manifest = graft.io.Formats.readBatchManifest(spark, s"$base/m.tsv")
+    val reads = graft.io.Formats.readsFromManifest(spark, manifest,
+      "id", "content")
+    val rows = reads.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.getAs[String]("content2"))).toMap
+    assert(rows.keySet == Set(1L, 2L), "the mate-less read must survive")
+    assert(rows(1L).isDefined && rows(2L).isEmpty)
+  }
+
   test("em: score tie resolves to the FIRST-LISTED match (reference pin)") {
     // reassign.py:227-241 keeps the first max (np.argmax); with uniform
     // initial probs and equal counts, read r1's winner must be its first
