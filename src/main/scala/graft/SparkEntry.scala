@@ -1027,6 +1027,55 @@ object SparkEntry {
       s.table(qname)
     }),
 
+    "q55_snapshot_isolation" -> ((s, dir) => {
+      // generation-versioned store commits: a lazy handle loaded BEFORE an
+      // update keeps serving its pinned snapshot THROUGH the update (every
+      // shard read is COLD here — no probe happens until after the commit —
+      // and resolves through the handle's per-group generation pointers),
+      // while a post-commit load sees the new generation. The reference
+      // gets this by atomically swapping whole filter files
+      // (GanonBuild.cpp:251-288); this store does it per shard group with
+      // per-group pointers so the update stays O(delta).
+      val docs = t(s, dir, "documents").cache()
+      val sources = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0))
+      val rmSrc = sources.last
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+      val dir2 = s"/tmp/graft_q55_${math.abs(dir.hashCode)}"
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(new java.io.File(dir2))
+      SketchBuild.buildToStore(s, docs, "source", "text", dir2, p)
+      val pinned = graft.io.SketchStore.loadTwoLevelLazy(s, dir2)
+      SketchBuild.updateStored(s, dir2, null, "source", "text",
+        removeTargets = Seq(rmSrc))
+      val post = graft.io.SketchStore.loadTwoLevelLazy(s, dir2)
+      val cp = ClassifyParams(relCutoff = 1.0, fprQuery = 1.0)
+      def all(db: graft.build.ProbeDb) = Classify.allMatches(
+        Classify.classify(s, docs, "doc_id", "text", db, cp))
+      val freshAll = SketchBuild.build(s, docs, "source", "text", p)
+      val freshPost = SketchBuild.build(s,
+        docs.filter(col("source") =!= rmSrc), "source", "text", p)
+      val mismPre = all(pinned).withColumn("u", lit(1))
+        .join(all(freshAll).withColumn("f", lit(1)),
+          Seq("read_id", "target", "kmer_count"), "full_outer")
+        .filter(col("u").isNull || col("f").isNull)
+        .select(col("read_id"))
+      val mismPost = all(post).withColumn("u", lit(1))
+        .join(all(freshPost).withColumn("f", lit(1)),
+          Seq("read_id", "target", "kmer_count"), "full_outer")
+        .filter(col("u").isNull || col("f").isNull)
+        .select(col("read_id"))
+      val bad = mismPre.unionByName(mismPost)
+        .groupBy("read_id").agg(count(lit(1)).as("bad"))
+      docs.select(col("doc_id").cast("string").as("read_id"))
+        .join(bad, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("bad").isNull.as("ok"))
+    }),
+
     "q45_simhash_pairs" -> ((s, dir) => {
       // simhash banded PAIR generation recall guarantee: an exact-duplicate
       // pair has identical token multisets => identical simhash => hamming 0
@@ -1521,6 +1570,10 @@ object SparkEntry {
         |LEFT JOIN lca l ON m.sample = l.sample AND m.t2 = l.t2""".stripMargin,
 
     "q50_update_twolevel" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q55_snapshot_isolation" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
 

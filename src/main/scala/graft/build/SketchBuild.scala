@@ -249,11 +249,19 @@ final class SerializableHadoopConf(
 /**
  * Two-level layout with LAZY shards: only the coarse filter and the bin
  * metadata ship with the broadcast; each executor fetches a group's fine
- * shard from the sketch store ON FIRST PROBE of that group and caches it
- * for the executor's lifetime. With coarse pruning, shards for groups a
- * workload never hits are never read — executor memory is bounded by the
- * WORKING SET of groups, not the database size (the HIBF lazy-load story;
- * the reference keeps the whole HIBF resident, GanonClassify.cpp:949-986).
+ * shard from the sketch store ON FIRST PROBE of that group and caches it.
+ * With coarse pruning, shards for groups a workload never hits are never
+ * read — executor memory is bounded by the WORKING SET of groups, not the
+ * database size (the HIBF lazy-load story; the reference keeps the whole
+ * HIBF resident, GanonClassify.cpp:949-986) — and `maxCacheBytes` bounds
+ * even the working set: past it, the least-recently-probed shard is
+ * evicted (a shifting workload over a 500 GB store no longer resident-sets
+ * every shard it ever touched).
+ *
+ * SNAPSHOT PINNING: the handle carries its generation's per-group blob
+ * pointers (`shardGens`), and updates never mutate committed blobs — only
+ * write the next generation's — so this handle keeps reading exactly the
+ * bits it was loaded with even while the store is updated underneath it.
  *
  * `readShard` resolves through the Hadoop FileSystem API, so the store can
  * live on file://, hdfs:// or any mounted FS. The SESSION's Hadoop
@@ -268,36 +276,68 @@ final class LazyTwoLevelDb(
     val layout: BinLayout,
     val params: IbfParams,
     val plan: IbfPlan,
-    shardDir: String,
-    hadoopConf: SerializableHadoopConf) extends SplitBinDb {
+    val storeDir: String,
+    val generation: Int,
+    val shardGens: Array[Int],
+    hadoopConf: SerializableHadoopConf,
+    maxCacheBytes: Long = Long.MaxValue) extends SplitBinDb {
 
   private val groupCutoffSafe = !layout.anyGroupSpanning
 
   @transient private lazy val shardCache =
     new java.util.concurrent.atomic.AtomicReferenceArray[InterleavedBloom](
       layout.numGroups)
+  // LRU bookkeeping: a coarse monotonic clock stamped per access (lazySet —
+  // no fence on the probe hot path) + resident-byte accounting. Eviction
+  // only runs on load (rare), where a synchronized scan over numGroups is
+  // cheap.
+  @transient private lazy val lastAccess =
+    new java.util.concurrent.atomic.AtomicLongArray(layout.numGroups)
+  @transient private lazy val accessClock =
+    new java.util.concurrent.atomic.AtomicLong()
+  @transient private lazy val resident =
+    new java.util.concurrent.atomic.AtomicLong()
 
   private def shard(g: Int): InterleavedBloom = {
     var s = shardCache.get(g)
     if (s == null) {
       s = readShard(g)
-      shardCache.compareAndSet(g, null, s)
-      s = shardCache.get(g)
+      if (shardCache.compareAndSet(g, null, s) &&
+          resident.addAndGet(s.sizeBytes) > maxCacheBytes)
+        evictLru(keep = g)
+      // CAS lost: another thread cached it first (or eviction raced) — the
+      // locally read shard is correct either way
     }
+    lastAccess.lazySet(g, accessClock.incrementAndGet())
     s
   }
 
-  private def readShard(g: Int): InterleavedBloom = {
-    val path = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
-    val fs = path.getFileSystem(hadoopConf.value)
-    val in = fs.open(path)
-    try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val buf = new Array[Byte](len)
-      in.readFully(0, buf)
-      InterleavedBloom.fromBytes(buf)
-    } finally in.close()
+  private def evictLru(keep: Int): Unit = synchronized {
+    while (resident.get() > maxCacheBytes) {
+      var victim = -1
+      var oldest = Long.MaxValue
+      var g = 0
+      while (g < layout.numGroups) {
+        if (g != keep && shardCache.get(g) != null) {
+          val a = lastAccess.get(g)
+          if (a < oldest) { oldest = a; victim = g }
+        }
+        g += 1
+      }
+      if (victim < 0) return // only the just-loaded shard is resident
+      val s = shardCache.getAndSet(victim, null)
+      if (s != null) resident.addAndGet(-s.sizeBytes)
+    }
   }
+
+  private def readShard(g: Int): InterleavedBloom =
+    graft.io.SketchStore.readShardBlob(hadoopConf.value, storeDir,
+      shardGens, g).getOrElse {
+      // a group that routed zero hashes has no blob (e.g. appended targets
+      // with empty content): probe it as all-empty bins
+      val nLocal = math.min(64, layout.numBins - g * 64)
+      InterleavedBloom.empty(nLocal, plan.bitsPerBin, plan.numHashes)
+    }
 
   // per-thread count scratch — probe runs per read (see TwoLevelSketchDb)
   @transient private lazy val gcScratch: ThreadLocal[Array[Int]] =
@@ -343,6 +383,9 @@ final class LazyTwoLevelDb(
     }
     n
   }
+
+  /** Resident shard-cache bytes in this JVM (bounded by maxCacheBytes). */
+  def residentBytes: Long = resident.get()
 }
 
 /**
@@ -559,9 +602,12 @@ object SketchBuild {
    * GanonBuild.cpp:251-288 — at its published 299-501 GB database scale,
    * docs/default_databases.md:29-76, a driver-resident assembly would OOM);
    * only the per-group COARSE blobs (the broadcast working set) return to
-   * the driver. The manifest is written last, so a partially-written store
-   * is never loadable. Returns the lazy db over the store just written —
-   * no Array[InterleavedBloom] ever materializes on the driver.
+   * the driver. The build writes a NEW generation (blobs into
+   * `shards_v<N>/`, committed by flipping CURRENT last), so a rebuild over
+   * an existing store never disturbs readers pinned to the old snapshot
+   * and a crash leaves the old generation fully loadable. Returns the lazy
+   * db over the store just written — no Array[InterleavedBloom] ever
+   * materializes on the driver.
    */
   def buildToStore(spark: SparkSession, df: DataFrame, targetCol: String,
       contentCol: String, dir: String, p: IbfParams = IbfParams(),
@@ -576,15 +622,13 @@ object SketchBuild {
     val bitsPerBin = thePlan.bitsPerBin
     val numHashes = thePlan.numHashes
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val shardDir = s"$dir/shards"
-    // fence the dir BEFORE destroying prior state: a crash between here
-    // and the final manifest leaves a store whose old manifest would
-    // otherwise load against missing/new blobs; readers fail fast on the
-    // marker instead (cleared by writeManifest, the commit point)
-    graft.io.SketchStore.markInProgress(conf.value, dir)
-    // clear stale blobs: a leftover grp_<g>.bin from an earlier, larger
-    // layout would be invisible now but could get OR-merged by a later
-    // updateStored that re-extends into that group number
+    val gen = graft.io.SketchStore
+      .currentGeneration(conf.value, dir).getOrElse(0) + 1
+    graft.io.SketchStore.claimGeneration(conf.value, dir, gen)
+    val shardDir = graft.io.SketchStore.shardDirOf(dir, gen)
+    // clear leftovers of THIS (uncommitted, exclusively claimed) generation
+    // only — a crashed earlier attempt's partial blobs; committed
+    // generations are never touched (pinned readers keep their snapshot)
     val shardPath = new org.apache.hadoop.fs.Path(shardDir)
     val fs0 = shardPath.getFileSystem(conf.value)
     if (fs0.exists(shardPath)) fs0.delete(shardPath, true)
@@ -619,9 +663,11 @@ object SketchBuild {
           coarseRows.toSeq.map { case (g, cb) => (g, Bloom.fromBytes(cb)) },
           nGroups)
       else InterleavedBloom.empty(nGroups, 64L, 1)
+    val shardGens = Array.fill(nGroups)(gen)
     val db = new LazyTwoLevelDb(coarse, cards.map(_._1).toArray,
-      cards.map(_._2).toArray, layout, p, thePlan, shardDir, conf)
-    graft.io.SketchStore.writeManifest(spark, db, "two", coarse.toBytes, dir)
+      cards.map(_._2).toArray, layout, p, thePlan, dir, gen, shardGens, conf)
+    graft.io.SketchStore.writeManifest(spark, db, "two", coarse.toBytes, dir,
+      gen, shardGens)
     db
   }
 
@@ -808,18 +854,20 @@ object SketchBuild {
    * pruning remains lossless and removed groups are merely probed once
    * before their zeroed fine bins report nothing.
    *
-   * Work split: removal masking is driver-side, one blob at a time
-   * (O(removed-targets' groups), bounded by one group blob of memory);
-   * the delta aggregation is distributed and each touched group's
-   * OR-merge + rewrite happens on the executor that aggregated it.
-   * The manifest is rewritten last.
+   * Work split: the delta aggregation is distributed; each touched group's
+   * mask + OR-merge + rewrite happens on the executor that aggregated it,
+   * and removal-ONLY groups (masked but receiving no delta) are masked in
+   * a parallel executor pass — removing a mega-target split across
+   * thousands of groups never funnels blob I/O through the driver. The
+   * manifest commits last.
    *
-   * Concurrency: blob commits are atomic overwrite-renames, so a reader
-   * never sees a torn or missing blob — but a LazyTwoLevelDb loaded
-   * BEFORE an update may observe a mix of pre/post-update shards for the
-   * duration (its coarse filter predates the update). Don't update a
-   * store while queries against it are in flight; the _IN_PROGRESS fence
-   * protects loads, not already-loaded handles.
+   * SNAPSHOT ISOLATION: the update reads generation N's blobs and writes
+   * only `shards_v<N+1>/`, flipping CURRENT after the new manifest lands —
+   * committed blobs are never mutated. A LazyTwoLevelDb loaded before (or
+   * DURING) the update keeps serving generation N's exact bits; loads
+   * after the flip see N+1. Concurrent updates are excluded by the
+   * generation lock (the second claimant fails fast). A crash mid-update
+   * leaves CURRENT at N — the store stays loadable and correct.
    */
   def updateStored(spark: SparkSession, dir: String, addDf: DataFrame,
       targetCol: String, contentCol: String,
@@ -873,32 +921,48 @@ object SketchBuild {
       (survivors.map(db0.layout.split) ++ newEntries.map(_._3)).toArray
     val layout = BinLayout(bases, splits, nextBin)
     val nGroupsNew = layout.numGroups
-    val shardDir = s"$dir/shards"
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val hconf = spark.sparkContext.hadoopConfiguration
 
-    // fence the store BEFORE any in-place blob mutation (the marker is
-    // cleared by the final writeManifest): a crash mid-update must never
-    // leave the old manifest loadable over half-mutated blobs
-    graft.io.SketchStore.markInProgress(hconf, dir)
-
-    // 1. removal: zero the removed targets' bin columns in their groups'
-    //    blobs — masking only, no re-aggregation, one blob resident at a time
-    removeSet.toSeq.sorted.foreach { t =>
-      val i = db0.targetIndex(t)
-      val b0 = db0.layout.base(i)
-      val b1 = b0 + db0.layout.split(i)
-      (b0 / 64 to (b1 - 1) / 64).foreach { g =>
-        graft.io.SketchStore.readShardBlob(hconf, shardDir, g).foreach { sh =>
-          sh.zeroBins(math.max(0, b0 - g * 64),
-            math.min(sh.numBins, b1 - g * 64))
-          graft.io.SketchStore.writeShardBlob(hconf, shardDir, g, sh.toBytes)
-        }
-      }
+    // claim the NEXT generation and write only into its shard dir; the old
+    // generation's blobs are read-only inputs (snapshot isolation)
+    val gen0 = db0.generation
+    val gens0 = db0.shardGens
+    val oldNumGroups = db0.layout.numGroups
+    val gen = gen0 + 1
+    graft.io.SketchStore.claimGeneration(hconf, dir, gen)
+    val newShardDir = graft.io.SketchStore.shardDirOf(dir, gen)
+    // clear a crashed earlier attempt's partial blobs of THIS uncommitted
+    // generation (exclusively claimed above)
+    locally {
+      val p2 = new org.apache.hadoop.fs.Path(newShardDir)
+      val fs = p2.getFileSystem(hconf)
+      if (fs.exists(p2)) fs.delete(p2, true)
     }
 
-    // 2. additions: shard-aggregate the delta, OR each touched group's blob
-    //    executor-side; only coarse deltas return to the driver
+    // removal = per-group bin-column masks over the OLD layout, applied
+    // wherever the old blob is first read (no driver-side blob I/O)
+    val maskRanges: Map[Int, Array[(Int, Int)]] = {
+      val m = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+      removeSet.toSeq.sorted.foreach { t =>
+        val i = db0.targetIndex(t)
+        val b0 = db0.layout.base(i)
+        val b1 = b0 + db0.layout.split(i)
+        (b0 / 64 to (b1 - 1) / 64).foreach { g =>
+          m.getOrElseUpdate(g,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((math.max(0, b0 - g * 64), math.min(64, b1 - g * 64)))
+        }
+      }
+      m.map { case (k, v) => k -> v.toArray }.toMap
+    }
+    val maskB = spark.sparkContext.broadcast(maskRanges)
+
+    // 1. additions: shard-aggregate the delta; each touched group's
+    //    executor reads the OLD blob (pinned generation), applies its
+    //    removal mask, ORs the delta in, and writes the NEW generation's
+    //    blob; only coarse deltas return to the driver
     val numBinsNew = nextBin
     val bitsPerBin = db0.plan.bitsPerBin
     val coarseBits = db0.coarse.bitsPerBin
@@ -915,20 +979,25 @@ object SketchBuild {
           .select(col("grp"), col("shard"), col("coarse"))
           .as[(Int, Array[Byte], Array[Byte])]
           .mapPartitions { iter =>
+            val masks = maskB.value
             iter.map { case (g, blob, coarseBlob) =>
               val delta = InterleavedBloom.fromBytes(blob)
               val nLocal = math.min(64, numBinsNew - g * 64)
               // <=64-bin shards always carry bitsPerBin words, so widening
               // the group's bin count (appends extending the last old
               // group) is a pure header change
-              graft.io.SketchStore.readShardBlob(conf.value, shardDir, g)
-                .foreach { old =>
-                  var i = 0
-                  while (i < delta.words.length) {
-                    delta.words(i) |= old.words(i); i += 1
+              if (g < oldNumGroups)
+                graft.io.SketchStore.readShardBlob(conf.value, dir, gens0, g)
+                  .foreach { old =>
+                    masks.get(g).foreach(_.foreach { case (lo, hi) =>
+                      old.zeroBins(lo, hi)
+                    })
+                    var i = 0
+                    while (i < delta.words.length) {
+                      delta.words(i) |= old.words(i); i += 1
+                    }
                   }
-                }
-              graft.io.SketchStore.writeShardBlob(conf.value, shardDir, g,
+              graft.io.SketchStore.writeShardBlob(conf.value, newShardDir, g,
                 new InterleavedBloom(nLocal, delta.bitsPerBin,
                   delta.numHashes, delta.words).toBytes)
               (g, coarseBlob)
@@ -937,21 +1006,50 @@ object SketchBuild {
       } else Array.empty
     if (persistShingles) hashedOpt.foreach(_.unpersist())
 
-    // 3. coarse: re-stride to the (possibly wider) new group count, OR in
+    // 2. removal-ONLY groups (masked, no delta): mask + rewrite in a
+    //    parallel executor pass — a mega-target's thousands of touched
+    //    groups distribute instead of serializing through the driver
+    val touchedSet = touchedCoarse.map(_._1).toSet
+    val removalOnly = maskRanges.keysIterator.filterNot(touchedSet).toSeq.sorted
+    if (removalOnly.nonEmpty) {
+      val parts = math.min(removalOnly.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(removalOnly, parts).foreach { g =>
+        graft.io.SketchStore.readShardBlob(conf.value, dir, gens0, g)
+          .foreach { sh =>
+            maskB.value(g).foreach { case (lo, hi) => sh.zeroBins(lo, hi) }
+            graft.io.SketchStore.writeShardBlob(conf.value, newShardDir, g,
+              sh.toBytes)
+          }
+      }
+    }
+
+    // 3. per-group generation pointers: rewritten groups -> the new
+    //    generation; untouched groups keep pointing at their old blobs
+    //    (the O(delta) property — nothing is copied or hard-linked)
+    val rewritten = touchedSet ++ removalOnly
+    val gens1 = Array.tabulate(nGroupsNew) { g =>
+      if (rewritten(g)) gen
+      else if (g < gens0.length) gens0(g)
+      else gen // appended group with no delta rows: no blob; reads tolerate
+    }
+
+    // 4. coarse: re-stride to the (possibly wider) new group count, OR in
     //    the touched groups' delta unions
     val coarseNew = restride(db0.coarse, nGroupsNew)
     touchedCoarse.foreach { case (g, cb) =>
       coarseNew.orBin(g, Bloom.fromBytes(cb))
     }
 
-    // 4. manifest rewrite LAST
+    // 5. manifest + CURRENT flip LAST (the commit point)
     val (maxFpReal, _) = Sizing.trueFalsePositive(
       counts.map(math.max(1L, _)), db0.plan.maxHashesBin, bitsPerBin,
       db0.plan.numHashes)
     val db = new LazyTwoLevelDb(coarseNew, targets, counts, layout, p,
       db0.plan.copy(numBins = nextBin, expectedMaxFp = maxFpReal),
-      shardDir, conf)
-    graft.io.SketchStore.writeManifest(spark, db, "two", coarseNew.toBytes, dir)
+      dir, gen, gens1, conf)
+    graft.io.SketchStore.writeManifest(spark, db, "two", coarseNew.toBytes,
+      dir, gen, gens1)
     db
   }
 

@@ -1,91 +1,193 @@
 package graft.io
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 import graft.build.{BinLayout, IbfParams, IbfPlan, LazyTwoLevelDb, ProbeDb, SketchDb, SplitBinDb, TwoLevelSketchDb}
-import graft.core.sketch.{Bloom, InterleavedBloom}
+import graft.core.sketch.InterleavedBloom
 
 /**
- * Versioned persistence of the sketch database (role of the reference's
- * cereal-serialized filter file, ganon src/ganon-build/GanonBuild.cpp:251-288
- * and its load path GanonClassify.cpp:949-986): parquet of per-target rows
- * plus one manifest row carrying version/layout/params/plan and the
- * serialized coarse structure; two-level layouts add one row per fine shard.
+ * GENERATION-VERSIONED persistence of the sketch database (role of the
+ * reference's cereal-serialized filter file, ganon
+ * src/ganon-build/GanonBuild.cpp:251-288 and its load path
+ * GanonClassify.cpp:949-986 — the reference commits a whole new filter
+ * file atomically; this store does the same per 64-bin shard group, with
+ * per-group generation pointers so an update stays O(delta)).
  *
  * Layout under `dir`:
- *   shards/grp_<g>.bin  one raw blob per 64-bin group   [two-level only]
- *   bins.parquet        (target, n_hashes, base, split) — the bin map
- *   manifest.parquet    (version, layout, k, w, seed, maxFp, hllP,
- *                        minContentLen, sizingMode, bitsPerBin, numHashes,
- *                        maxHashesBin, numBins, ibf) — written LAST
- *   _IN_PROGRESS        fence marker: created before any mutation of an
- *                        existing store (rebuild-in-place, updateStored's
- *                        in-place blob rewrites), cleared by writeManifest
- *                        (the commit point). Loaders fail fast on it, so
- *                        neither a half-written NEW store nor an old
- *                        manifest over half-mutated blobs is ever loadable
+ *   CURRENT                  committed generation number (the ONLY commit
+ *                            point: temp-write + atomic rename-OVERWRITE)
+ *   LOCK_gen_<N>             exclusive writer claim while generation N is
+ *                            being produced (create-without-overwrite)
+ *   gen_<N>/bins.parquet     (target, n_hashes, base, split) — the bin map
+ *   gen_<N>/manifest.parquet (version, generation, layout, params, plan,
+ *                            shard_gens, ibf=serialized coarse)
+ *   shards_v<N>/grp_<g>.bin  raw blobs WRITTEN BY generation N
+ *
+ * Snapshot isolation: `shard_gens(g)` names the generation whose
+ * `shards_v<gen>/grp_<g>.bin` is group g's current blob. A writer never
+ * mutates an existing blob — updates write only into `shards_v<N+1>/` and
+ * flip CURRENT last — so a reader (or a long-lived [[LazyTwoLevelDb]]
+ * handle) that loaded generation N keeps reading exactly generation N's
+ * bits for its whole lifetime, even across concurrent updates. A crash
+ * mid-update leaves CURRENT at N: the store stays loadable and correct,
+ * and the partial `shards_v<N+1>` garbage is invisible (GC'able).
+ * Superseded generations are reclaimed by [[gcGenerations]] after a
+ * configurable grace of pinned snapshots.
  *
  * Bin metadata stays relational (queryable/joinable); bit-matrices ride as
- * binary cells/blobs. The raw per-group blobs are the single source of
- * shard truth: the executor-side lazy-load unit (one open+read per group,
- * no parquet machinery inside tasks), written straight from executors by
- * `SketchBuild.buildToStore`, and rewritten per touched group by
- * `SketchBuild.updateStored`.
+ * raw per-group blobs — the executor-side lazy-load unit (one open+read
+ * per group, no parquet machinery inside tasks), written straight from
+ * executors by `SketchBuild.buildToStore` / `updateStored`.
  */
 object SketchStore {
 
-  val FormatVersion = 5
+  val FormatVersion = 6
 
+  // ---- generation plumbing -------------------------------------------------
+
+  private def currentPath(dir: String) = new Path(s"$dir/CURRENT")
+  private def lockPath(dir: String, gen: Int) = new Path(s"$dir/LOCK_gen_$gen")
+  private[graft] def genDir(dir: String, gen: Int) = s"$dir/gen_$gen"
+  private[graft] def shardDirOf(dir: String, gen: Int) = s"$dir/shards_v$gen"
+
+  /** The committed generation, if the dir holds a store. */
+  def currentGeneration(conf: Configuration, dir: String): Option[Int] = {
+    val p = currentPath(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Atomically flip CURRENT to `gen` (temp file + rename-OVERWRITE — a
+    * racing reader sees the old pointer or the new one, never nothing). */
+  private def commitCurrent(conf: Configuration, dir: String, gen: Int): Unit = {
+    val dest = currentPath(dir)
+    val fs = dest.getFileSystem(conf)
+    val tmp = new Path(s"$dir/.CURRENT.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Claim exclusive authorship of generation `gen` (create-no-overwrite of
+    * the lock file). A held lock means another writer is producing this
+    * generation RIGHT NOW — or crashed mid-write; since the two are
+    * indistinguishable from the filesystem, the error says how to recover
+    * ([[releaseStaleLocks]] once no writer is running). */
+  private[graft] def claimGeneration(conf: Configuration, dir: String,
+      gen: Int): Unit = {
+    val lock = lockPath(dir, gen)
+    val fs = lock.getFileSystem(conf)
+    fs.mkdirs(new Path(dir))
+    try fs.create(lock, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"generation $gen of sketch store $dir is already claimed by " +
+            "another writer (concurrent build/update in flight, or a " +
+            "crashed one). If no writer is running, call " +
+            "SketchStore.releaseStaleLocks(spark, dir) and retry.", e)
+    }
+  }
+
+  private def releaseLock(conf: Configuration, dir: String, gen: Int): Unit = {
+    val lock = lockPath(dir, gen)
+    lock.getFileSystem(conf).delete(lock, false)
+  }
+
+  /** Drop lock files of UNCOMMITTED generations (gen > CURRENT) — the
+    * residue of crashed writers. Only call when no writer is running. */
+  def releaseStaleLocks(spark: SparkSession, dir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = currentGeneration(conf, dir).getOrElse(0)
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return 0
+    val stale = fs.listStatus(d).map(_.getPath).filter { p =>
+      p.getName.startsWith("LOCK_gen_") &&
+        p.getName.stripPrefix("LOCK_gen_").toInt > cur
+    }
+    stale.foreach(fs.delete(_, false))
+    stale.length
+  }
+
+  // ---- manifest ------------------------------------------------------------
+
+  /** Write bins+manifest for `gen` (into the fresh gen_<gen>/ dir — never
+    * an overwrite of live metadata), then COMMIT by flipping CURRENT and
+    * release the writer lock. `shardGens(g)` = generation owning group g's
+    * blob (empty for flat layouts, which keep the whole filter in the
+    * manifest row). */
   private[graft] def writeManifest(spark: SparkSession, db: SplitBinDb,
-      layout: String, ibfBytes: Array[Byte], dir: String): Unit = {
+      layout: String, ibfBytes: Array[Byte], dir: String, gen: Int,
+      shardGens: Array[Int]): Unit = {
     import spark.implicits._
-    // fence readers while bins/manifest are replaced; cleared at the end —
-    // the store's single commit point
-    markInProgress(spark.sparkContext.hadoopConfiguration, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gd = genDir(dir, gen)
     val bins = db.targets.indices.map { i =>
       (db.targets(i), db.targetHashes(i), db.layout.base(i), db.layout.split(i))
     }.toDF("target", "n_hashes", "base", "split")
-    bins.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/bins.parquet")
-    Seq((FormatVersion, layout, db.params.k, db.params.w, db.params.seed,
+    bins.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$gd/bins.parquet")
+    Seq((FormatVersion, gen, layout, db.params.k, db.params.w, db.params.seed,
       db.params.maxFp, db.params.hllP, db.params.minContentLen,
       db.params.sizingMode, db.plan.bitsPerBin, db.plan.numHashes,
-      db.plan.maxHashesBin, db.plan.numBins, ibfBytes))
-      .toDF("version", "layout", "k", "w", "seed", "max_fp", "hll_p",
-        "min_content_len", "sizing_mode", "bits_per_bin",
-        "num_hashes", "max_hashes_bin", "num_bins", "ibf")
+      db.plan.maxHashesBin, db.plan.numBins, shardGens, ibfBytes))
+      .toDF("version", "generation", "layout", "k", "w", "seed", "max_fp",
+        "hll_p", "min_content_len", "sizing_mode", "bits_per_bin",
+        "num_hashes", "max_hashes_bin", "num_bins", "shard_gens", "ibf")
       .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/manifest.parquet")
-    clearInProgress(spark.sparkContext.hadoopConfiguration, dir)
+      .parquet(s"$gd/manifest.parquet")
+    commitCurrent(conf, dir, gen)
+    releaseLock(conf, dir, gen)
   }
 
-  def save(spark: SparkSession, db: SketchDb, dir: String): Unit =
-    writeManifest(spark, db, "flat", db.ibf.toBytes, dir)
+  def save(spark: SparkSession, db: SketchDb, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gen = currentGeneration(conf, dir).getOrElse(0) + 1
+    claimGeneration(conf, dir, gen)
+    writeManifest(spark, db, "flat", db.ibf.toBytes, dir, gen,
+      Array.empty[Int])
+  }
 
   def saveTwoLevel(spark: SparkSession, db: TwoLevelSketchDb, dir: String): Unit = {
-    // fence BEFORE the first blob overwrite (saving over an existing store
-    // is a mutation like any other); blobs first, manifest last — which
-    // clears the fence (see layout note above)
     val conf = spark.sparkContext.hadoopConfiguration
-    markInProgress(conf, dir)
+    val gen = currentGeneration(conf, dir).getOrElse(0) + 1
+    claimGeneration(conf, dir, gen)
+    val sd = shardDirOf(dir, gen)
     db.shards.zipWithIndex.foreach { case (shard, g) =>
-      writeShardBlob(conf, s"$dir/shards", g, shard.toBytes)
+      writeShardBlob(conf, sd, g, shard.toBytes)
     }
-    writeManifest(spark, db, "two", db.coarse.toBytes, dir)
+    writeManifest(spark, db, "two", db.coarse.toBytes, dir, gen,
+      Array.fill(db.layout.numGroups)(gen))
   }
 
-  private[graft] def writeShardBlob(conf: org.apache.hadoop.conf.Configuration,
+  // ---- blobs ---------------------------------------------------------------
+
+  private[graft] def writeShardBlob(conf: Configuration,
       shardDir: String, g: Int, bytes: Array[Byte]): Unit = {
-    val dest = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
+    val dest = new Path(s"$shardDir/grp_$g.bin")
     val fs = dest.getFileSystem(conf)
     // write-then-OVERWRITE-rename (FileContext, atomic on HDFS/posix):
     // concurrent writers of the same group (task retries, speculative
     // attempts) can never interleave bytes in the destination, and there
     // is NO missing-file window — a reader racing the commit sees the old
-    // blob or the new one, never nothing. That also makes updateStored's
-    // read-modify-write safe under duplicate attempts: an attempt reads
-    // either the pre- or post-merge blob and OR is idempotent either way.
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$shardDir/.grp_$g.${java.util.UUID.randomUUID()}.tmp")
+    // blob or the new one, never nothing. A blob path is deterministic per
+    // (generation, group), so duplicate attempts write identical bytes.
+    val tmp = new Path(s"$shardDir/.grp_$g.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     try {
@@ -94,70 +196,96 @@ object SketchStore {
     } catch {
       case e: Throwable =>
         fs.delete(tmp, false)
-        if (!fs.exists(dest))
+        // Suppress ONLY a positively-confirmed duplicate-attempt commit:
+        // dest must exist with exactly the bytes we meant to write (same
+        // length; content is deterministic per path — see above). A dest
+        // of any other size is a stale/foreign blob: surfacing the rename
+        // failure beats silently serving old bits under a new manifest.
+        val committed = fs.exists(dest) &&
+          fs.getFileStatus(dest).getLen == bytes.length
+        if (!committed)
           throw new java.io.IOException(s"failed to commit shard blob $dest", e)
     }
   }
 
-  private def marker(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/_IN_PROGRESS")
+  /** Read group g's blob through its generation pointer; None if the group
+    * has no file (a group whose targets routed zero hashes — never probed
+    * thanks to coarse pruning). Streams into the word array in chunks, so
+    * blobs past 2 GB (plausible per-group at the reference's 300-500 GB
+    * database scale) never need one giant byte[]. */
+  private[graft] def readShardBlob(conf: Configuration, dir: String,
+      shardGens: Array[Int], g: Int): Option[InterleavedBloom] =
+    readShardBlobAt(conf, shardDirOf(dir, shardGens(g)), g)
 
-  /** Fence the store while a build/update mutates it: readers fail fast on
-    * the marker instead of loading a half-written/half-mutated db (the
-    * manifest-last discipline alone cannot protect in-place blob rewrites
-    * or a rebuild into a dir that already holds an older manifest). */
-  private[graft] def markInProgress(
-      conf: org.apache.hadoop.conf.Configuration, dir: String): Unit = {
-    val m = marker(dir)
-    m.getFileSystem(conf).create(m, true).close()
-  }
-
-  /** Cleared by writeManifest — the single commit point. */
-  private def clearInProgress(
-      conf: org.apache.hadoop.conf.Configuration, dir: String): Unit = {
-    val m = marker(dir)
-    m.getFileSystem(conf).delete(m, false)
-  }
-
-  /** Read one raw shard blob; None if the group has no file (a group whose
-    * targets routed zero hashes — never probed thanks to coarse pruning). */
-  private[graft] def readShardBlob(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def readShardBlobAt(conf: Configuration,
       shardDir: String, g: Int): Option[InterleavedBloom] = {
-    val path = new org.apache.hadoop.fs.Path(s"$shardDir/grp_$g.bin")
+    val path = new Path(s"$shardDir/grp_$g.bin")
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) None
     else {
       val in = fs.open(path)
-      try {
-        val len = fs.getFileStatus(path).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        Some(InterleavedBloom.fromBytes(buf))
-      } finally in.close()
+      try Some(readIbfStream(in)) finally in.close()
     }
   }
 
-  /** Two-level load with LAZY shards: ships only coarse + metadata;
-    * executors fetch `dir/shards/grp_<g>.bin` on first probe of group g
-    * (see [[graft.build.LazyTwoLevelDb]]). */
-  def loadTwoLevelLazy(spark: SparkSession, dir: String): LazyTwoLevelDb = {
-    val (params, layout, plan, targets, counts, coarseBytes, layoutKind) =
-      readManifest(spark, dir)
-    require(layoutKind == "two", s"not a two-level store: $layoutKind")
-    new LazyTwoLevelDb(InterleavedBloom.fromBytes(coarseBytes), targets,
-      counts, layout, params, plan, s"$dir/shards",
-      new graft.build.SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration))
+  /** Chunked deserialization of [[InterleavedBloom.toBytes]]' layout
+    * (20-byte header + little-endian longs) from a positioned stream. */
+  private def readIbfStream(in: org.apache.hadoop.fs.FSDataInputStream)
+      : InterleavedBloom = {
+    val hdr = new Array[Byte](20)
+    in.readFully(hdr)
+    val hb = java.nio.ByteBuffer.wrap(hdr)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val numBins = hb.getInt(); val bitsPerBin = hb.getLong()
+    val numHashes = hb.getInt(); val n = hb.getInt()
+    val words = new Array[Long](n)
+    val chunkWords = 1 << 19 // 4 MB chunks
+    val buf = new Array[Byte](chunkWords * 8)
+    var w = 0
+    while (w < n) {
+      val take = math.min(chunkWords, n - w)
+      in.readFully(buf, 0, take * 8)
+      val bb = java.nio.ByteBuffer.wrap(buf, 0, take * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < take) { words(w + i) = bb.getLong(); i += 1 }
+      w += take
+    }
+    new InterleavedBloom(numBins, bitsPerBin, numHashes, words)
   }
 
-  private def readManifest(spark: SparkSession, dir: String)
-      : (IbfParams, BinLayout, IbfPlan, Array[String], Array[Long], Array[Byte], String) = {
-    val mk = marker(dir)
-    if (mk.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mk))
+  // ---- load ----------------------------------------------------------------
+
+  /** Two-level load with LAZY shards: ships only coarse + metadata;
+    * executors fetch each group's blob (through its PINNED generation
+    * pointer) on first probe and cache it (see [[graft.build.LazyTwoLevelDb]]).
+    * `spark.graft.shard.cache.bytes` bounds the per-executor resident
+    * shard bytes (LRU eviction); default unbounded. */
+  def loadTwoLevelLazy(spark: SparkSession, dir: String): LazyTwoLevelDb = {
+    val m = readManifest(spark, dir)
+    require(m.layoutKind == "two", s"not a two-level store: ${m.layoutKind}")
+    val maxCache = spark.conf.getOption("spark.graft.shard.cache.bytes")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    new LazyTwoLevelDb(InterleavedBloom.fromBytes(m.ibfBytes), m.targets,
+      m.counts, m.layout, m.params, m.plan, dir, m.generation, m.shardGens,
+      new graft.build.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration), maxCache)
+  }
+
+  private[graft] final case class Manifest(
+      params: IbfParams, layout: BinLayout, plan: IbfPlan,
+      targets: Array[String], counts: Array[Long], ibfBytes: Array[Byte],
+      layoutKind: String, generation: Int, shardGens: Array[Int])
+
+  private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gen = currentGeneration(conf, dir).getOrElse(
       throw new IllegalStateException(
-        s"sketch store $dir has an interrupted build/update (_IN_PROGRESS " +
-          "present) — its blobs may be half-mutated; rebuild or restore it")
-    val m = spark.read.parquet(s"$dir/manifest.parquet").head()
+        s"$dir is not a sketch store (no CURRENT pointer) — nothing was " +
+          "ever committed here, or the build crashed before its first " +
+          "commit; rebuild it"))
+    val gd = genDir(dir, gen)
+    val m = spark.read.parquet(s"$gd/manifest.parquet").head()
     val version = m.getAs[Int]("version")
     require(version == FormatVersion, s"unsupported version $version")
     // hllP/minContentLen/sizingMode must round-trip too: update() on a
@@ -167,7 +295,7 @@ object SketchStore {
       hllP = m.getAs[Int]("hll_p"),
       minContentLen = m.getAs[Int]("min_content_len"),
       sizingMode = m.getAs[String]("sizing_mode"))
-    val bins = spark.read.parquet(s"$dir/bins.parquet")
+    val bins = spark.read.parquet(s"$gd/bins.parquet")
       .collect().map(r => (r.getAs[String]("target"), r.getAs[Long]("n_hashes"),
         r.getAs[Int]("base"), r.getAs[Int]("split")))
       .sortBy(_._3)
@@ -177,34 +305,92 @@ object SketchStore {
       m.getAs[Int]("num_hashes"), m.getAs[Long]("max_hashes_bin"),
       Sizing2.maxFpOf(bins.map(_._2), m.getAs[Long]("max_hashes_bin"),
         m.getAs[Long]("bits_per_bin"), m.getAs[Int]("num_hashes")))
-    (params, layout, plan, bins.map(_._1), bins.map(_._2),
-      m.getAs[Array[Byte]]("ibf"), m.getAs[String]("layout"))
+    Manifest(params, layout, plan, bins.map(_._1), bins.map(_._2),
+      m.getAs[Array[Byte]]("ibf"), m.getAs[String]("layout"), gen,
+      m.getAs[scala.collection.Seq[Int]]("shard_gens").toArray)
   }
 
   /** Load either layout, dispatching on the manifest. */
   def loadAny(spark: SparkSession, dir: String): ProbeDb = {
-    val (params, layout, plan, targets, counts, ibfBytes, layoutKind) =
-      readManifest(spark, dir)
-    val blob = InterleavedBloom.fromBytes(ibfBytes)
-    layoutKind match {
+    val m = readManifest(spark, dir)
+    val blob = InterleavedBloom.fromBytes(m.ibfBytes)
+    m.layoutKind match {
       case "flat" =>
-        new SketchDb(blob, targets, counts, layout, params, plan)
+        new SketchDb(blob, m.targets, m.counts, m.layout, m.params, m.plan)
       case "two" =>
         val conf = spark.sparkContext.hadoopConfiguration
-        val shards = Array.tabulate(layout.numGroups) { g =>
-          readShardBlob(conf, s"$dir/shards", g).getOrElse {
-            val nLocal = math.min(64, layout.numBins - g * 64)
-            InterleavedBloom.empty(nLocal, plan.bitsPerBin, plan.numHashes)
+        val shards = Array.tabulate(m.layout.numGroups) { g =>
+          readShardBlob(conf, dir, m.shardGens, g).getOrElse {
+            val nLocal = math.min(64, m.layout.numBins - g * 64)
+            InterleavedBloom.empty(nLocal, m.plan.bitsPerBin, m.plan.numHashes)
           }
         }
-        new TwoLevelSketchDb(blob, shards, targets, counts,
-          layout, params, plan)
+        new TwoLevelSketchDb(blob, shards, m.targets, m.counts,
+          m.layout, m.params, m.plan)
       case other => throw new IllegalArgumentException(s"unknown layout $other")
     }
   }
 
   def load(spark: SparkSession, dir: String): SketchDb =
     loadAny(spark, dir).asInstanceOf[SketchDb]
+
+  // ---- GC ------------------------------------------------------------------
+
+  /** Reclaim superseded generations, keeping the last `keepGens` SNAPSHOTS
+    * fully readable (their gen_<v> metadata and every blob any of them
+    * references — a pinned [[LazyTwoLevelDb]] loaded up to keepGens-1
+    * generations ago keeps working). Everything older, and every blob no
+    * kept snapshot references, is deleted. Returns (files, bytes) freed.
+    * Run it after updates once in-flight readers have drained past the
+    * grace window. */
+  def gcGenerations(spark: SparkSession, dir: String,
+      keepGens: Int = 2): (Long, Long) = {
+    require(keepGens >= 1, "must keep at least the current generation")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = currentGeneration(conf, dir).getOrElse(return (0L, 0L))
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val oldest = math.max(1, cur - keepGens + 1)
+    // union of (gen, group) blob references across the kept snapshots
+    val needed = (oldest to cur).flatMap { v =>
+      val mp = new Path(s"${genDir(dir, v)}/manifest.parquet")
+      if (!fs.exists(mp)) Nil
+      else {
+        val row = spark.read.parquet(mp.toString)
+          .select("shard_gens").head()
+        row.getAs[scala.collection.Seq[Int]]("shard_gens")
+          .zipWithIndex.map { case (gv, g) => (gv, g) }
+      }
+    }.toSet
+    var files = 0L
+    var bytes = 0L
+    fs.listStatus(d).map(_.getPath).foreach { p =>
+      val name = p.getName
+      if (name.startsWith("gen_") && name.stripPrefix("gen_").toInt < oldest) {
+        bytes += fs.getContentSummary(p).getLength
+        files += 1
+        fs.delete(p, true)
+      } else if (name.startsWith("shards_v")) {
+        val v = name.stripPrefix("shards_v").toInt
+        if (v <= cur) fs.listStatus(p).foreach { st =>
+          val bn = st.getPath.getName
+          if (bn.matches("grp_\\d+\\.bin")) {
+            val g = bn.stripPrefix("grp_").stripSuffix(".bin").toInt
+            if (!needed((v, g))) {
+              files += 1
+              bytes += st.getLen
+              fs.delete(st.getPath, false)
+            }
+          }
+        }
+        if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+      } else if (name.startsWith("LOCK_gen_") &&
+          name.stripPrefix("LOCK_gen_").toInt <= cur) {
+        fs.delete(p, false) // committed generations never hold a live lock
+      }
+    }
+    (files, bytes)
+  }
 
   private object Sizing2 {
     def maxFpOf(counts: Array[Long], maxHashesBin: Long, bits: Long,

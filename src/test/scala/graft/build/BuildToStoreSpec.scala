@@ -19,9 +19,10 @@ class BuildToStoreSpec extends AnyFunSuite {
         db, cp))
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
 
-  /** grp_<g>.bin blobs only (the Hadoop local FS adds .crc sidecars). */
-  private def blobs(dir: String): Array[java.io.File] =
-    new java.io.File(s"$dir/shards").listFiles()
+  /** grp_<g>.bin blobs of one generation (the local FS adds .crc sidecars). */
+  private def blobs(dir: String, gen: Int): Array[java.io.File] =
+    Option(new java.io.File(s"$dir/shards_v$gen").listFiles())
+      .getOrElse(Array.empty)
       .filter(_.getName.matches("grp_\\d+\\.bin"))
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -50,7 +51,7 @@ class BuildToStoreSpec extends AnyFunSuite {
     // are the coarse-only contract and that no fine shard exists driver-
     // side until a probe demands it)
     assert(lazyDb.sizeBytes == lazyDb.coarse.sizeBytes)
-    assert(blobs(dir).length == lazyDb.layout.numGroups)
+    assert(blobs(dir, 1).length == lazyDb.layout.numGroups)
     assert(lazyDb.loadedShards == 0, "no shard materialized before probing")
 
     assert(matches(lazyDb, docs) == matches(flat, docs))
@@ -87,34 +88,130 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
-  test("interrupted build/update fences loaders (_IN_PROGRESS fail-fast)") {
+  test("crashed update: old snapshot stays loadable; stale lock recovers") {
     val docs = graft.synth.Corpus.df(spark, 120, numRepos = 6, partitions = 2)
+      .cache()
     val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
-    val dir = freshDir("fence")
+    val dir = freshDir("crash")
     SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
-    // loads fine after commit...
-    graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
-    // ...but a crash between mark and manifest leaves the marker: loaders
-    // must refuse rather than serve half-mutated blobs
+    val preMatches = matches(graft.io.SketchStore.loadTwoLevelLazy(spark, dir),
+      docs)
+    // simulate a writer that crashed mid-way through generation 2: a held
+    // lock plus garbage partial blobs in shards_v2 — CURRENT still points
+    // at generation 1, so loads serve the committed snapshot untouched
     java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(s"$dir/_IN_PROGRESS"))
-    intercept[IllegalStateException] {
-      graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
-    }
-    intercept[IllegalStateException] {
-      graft.io.SketchStore.loadAny(spark, dir)
-    }
-    // an update refuses a fenced store too (it loads the db first)
-    intercept[IllegalStateException] {
+      java.nio.file.Paths.get(s"$dir/LOCK_gen_2"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/shards_v2"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/shards_v2/grp_0.bin"),
+      Array[Byte](1, 2, 3))
+    assert(matches(graft.io.SketchStore.loadTwoLevelLazy(spark, dir), docs)
+      == preMatches, "partial next-gen garbage must be invisible")
+    // a new update fails FAST on the held generation lock...
+    val e = intercept[IllegalStateException] {
       SketchBuild.updateStored(spark, dir, null, "repo", "content")
     }
-    // after restore (marker removed), a completed update commits cleanly
-    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_IN_PROGRESS"))
+    assert(e.getMessage.contains("releaseStaleLocks"))
+    // ...and after lock release (no writer running) the retry commits
+    assert(graft.io.SketchStore.releaseStaleLocks(spark, dir) == 1)
+    val rm = docs.select("repo").distinct().orderBy("repo")
+      .first().getString(0)
     val upd = SketchBuild.updateStored(spark, dir, null, "repo", "content",
-      removeTargets = Seq(docs.select("repo").distinct().orderBy("repo")
-        .first().getString(0)))
+      removeTargets = Seq(rm))
+    assert(upd.generation == 2)
     assert(graft.io.SketchStore.loadTwoLevelLazy(spark, dir).targets.length ==
       upd.targets.length)
+    docs.unpersist()
+  }
+
+  test("snapshot isolation: a handle loaded pre-update serves its pinned " +
+      "generation through and after the update") {
+    val docs = graft.synth.Corpus.df(spark, 600, numRepos = 60, partitions = 4)
+      .cache()
+    val repos = docs.select("repo").distinct().orderBy("repo")
+      .collect().map(_.getString(0))
+    val p = IbfParams(k = 19, w = 31, maxFp = 1e-5)
+    val dir = freshDir("iso")
+    SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
+    // load BEFORE the update and probe nothing yet: every later shard read
+    // is a COLD fetch through the handle's pinned generation pointers
+    val pinned = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    assert(pinned.loadedShards == 0)
+    val expectedPre = matches(SketchBuild.build(spark, docs, "repo",
+      "content", p), docs)
+    // update underneath it: remove one repo, add nothing
+    SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(repos.last))
+    // the pinned handle still answers with the PRE-update database...
+    assert(matches(pinned, docs) == expectedPre,
+      "pre-update handle must keep serving its snapshot")
+    // ...while a fresh load sees the post-update one
+    val post = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    val expectedPost = matches(SketchBuild.build(spark,
+      docs.filter(col("repo") =!= repos.last), "repo", "content", p), docs)
+    assert(matches(post, docs) == expectedPost)
+    docs.unpersist()
+  }
+
+  test("gcGenerations reclaims superseded blobs, keeps referenced ones") {
+    val docs = graft.synth.Corpus.df(spark, 1000, numRepos = 150, partitions = 8)
+      .cache()
+    val repos = docs.select("repo").distinct().orderBy("repo")
+      .collect().map(_.getString(0))
+    val p = IbfParams(k = 19, w = 31, maxFp = 1e-4)
+    val dir = freshDir("gc")
+    SketchBuild.buildToStore(spark, docs.filter(col("repo") =!= repos.head),
+      "repo", "content", dir, p)
+    val v1Before = blobs(dir, 1).length
+    SketchBuild.updateStored(spark, dir, docs.filter(col("repo") === repos.head),
+      "repo", "content", removeTargets = Seq(repos.last))
+    val v2 = blobs(dir, 2).map(_.getName).toSet
+    assert(v2.nonEmpty && v2.size < v1Before,
+      "update must rewrite a strict subset of groups")
+    // keepGens = 1: only the current snapshot survives — gen_1 metadata
+    // goes, v1 blobs REWRITTEN in v2 go, v1 blobs still referenced stay
+    val (files, bytes) = graft.io.SketchStore.gcGenerations(spark, dir, 1)
+    assert(files > 0 && bytes > 0)
+    assert(!new java.io.File(s"$dir/gen_1").exists())
+    val v1Left = blobs(dir, 1).map(_.getName).toSet
+    assert(v1Left.nonEmpty, "untouched groups' blobs are still referenced")
+    assert(v1Left.intersect(v2).isEmpty,
+      "every rewritten group's old blob must be gone")
+    // the store still classifies exactly like a fresh build of the final set
+    val fresh = SketchBuild.build(spark,
+      docs.filter(col("repo") =!= repos.last), "repo", "content", p)
+    assert(matches(graft.io.SketchStore.loadTwoLevelLazy(spark, dir), docs)
+      == matches(fresh, docs))
+    docs.unpersist()
+  }
+
+  test("lazy shard cache: LRU eviction bounds resident bytes") {
+    val docs = graft.synth.Corpus.df(spark, 800, numRepos = 200, partitions = 8)
+      .cache()
+    // tiny maxFp: the flat probe sums FP contributions across a split
+    // target's many bins while coarse pruning (losslessly) drops the ones
+    // in never-hit groups, so flat-vs-two-level equality only holds in the
+    // FP-immune regime (same discipline as q40/q47/q50)
+    val p = IbfParams(k = 19, w = 31, maxFp = 1e-5)
+    val dir = freshDir("lru")
+    val full = SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
+    assert(full.layout.numGroups >= 3, "need several groups to rotate over")
+    val oneShard = blobs(dir, 1).map(_.length()).max
+    val bound = oneShard * 2 + 64
+    spark.conf.set("spark.graft.shard.cache.bytes", bound.toString)
+    val lru = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    spark.conf.unset("spark.graft.shard.cache.bytes")
+    // rotate the whole corpus through (touches every group), then check
+    // the cache never kept more than the bound
+    val flat = SketchBuild.build(spark, docs, "repo", "content", p)
+    assert(matches(lru, docs) == matches(flat, docs),
+      "eviction must never change answers")
+    assert(lru.residentBytes <= bound,
+      s"resident ${lru.residentBytes} > bound $bound")
+    assert(lru.loadedShards < lru.layout.numGroups,
+      "a rotating workload over a bounded cache cannot keep every shard")
+    docs.unpersist()
   }
 
   test("persistShingles build: bit-identical to the two-scan build") {
@@ -145,8 +242,8 @@ class BuildToStoreSpec extends AnyFunSuite {
     val baseDb = SketchBuild.buildToStore(spark,
       docs.filter(col("repo") =!= addRepo), "repo", "content", dir, p)
 
-    // record blob mtimes; untouched groups must not be rewritten
-    val before = blobs(dir).map(f => f.getName -> f.lastModified()).toMap
+    // record gen-1 blob mtimes; untouched groups must not be rewritten
+    val before = blobs(dir, 1).map(f => f.getName -> f.lastModified()).toMap
 
     val updated = SketchBuild.updateStored(spark, dir,
       docs.filter(col("repo") === addRepo), "repo", "content",
@@ -160,8 +257,10 @@ class BuildToStoreSpec extends AnyFunSuite {
     assert(matches(reloaded, docs) == matches(fresh, docs))
 
     // O(delta) evidence: groups holding neither the added nor the removed
-    // target keep their blob mtime — they were never read or rewritten
-    val after = blobs(dir).map(f => f.getName -> f.lastModified()).toMap
+    // target keep their gen-1 blob (same mtime, generation pointer still 1)
+    // and gained NO gen-2 blob — they were never read or rewritten
+    val after = blobs(dir, 1).map(f => f.getName -> f.lastModified()).toMap
+    val v2 = blobs(dir, 2).map(_.getName).toSet
     def groupsOf(db: ProbeDb, layout: BinLayout, t: String): Set[Int] =
       db.targetIndex.get(t).map { i =>
         val b0 = layout.base(i)
@@ -177,6 +276,10 @@ class BuildToStoreSpec extends AnyFunSuite {
     assert(untouched.nonEmpty, "layout left no untouched group to observe")
     untouched.foreach { name =>
       assert(before(name) == after(name), s"untouched blob $name rewritten")
+      assert(!v2.contains(name), s"untouched group $name got a gen-2 blob")
+      val g = name.stripPrefix("grp_").stripSuffix(".bin").toInt
+      assert(updated.shardGens(g) == 1,
+        s"untouched group $g must keep its gen-1 pointer")
     }
     docs.unpersist()
   }
