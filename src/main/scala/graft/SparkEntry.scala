@@ -1076,6 +1076,54 @@ object SparkEntry {
           col("bad").isNull.as("ok"))
     }),
 
+    "q56_compact_store" -> ((s, dir) => {
+      // store compaction after update cycles (reference rebuilds the layout
+      // on update, build_update.py:157): removals leave masked holes and a
+      // stale coarse; compactStored re-plans from the manifest cardinalities
+      // (ONE content scan, pass 1 skipped) and must equal a fresh build of
+      // the surviving set while the layout demonstrably shrinks
+      val docs = t(s, dir, "documents").cache()
+      val sources = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0))
+      val rm1 = sources.last
+      val rm2 = sources.head
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+      val dir2 = s"/tmp/graft_q56_${math.abs(dir.hashCode)}"
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(new java.io.File(dir2))
+      SketchBuild.buildToStore(s, docs, "source", "text", dir2, p)
+      SketchBuild.updateStored(s, dir2, null, "source", "text",
+        removeTargets = Seq(rm1))
+      SketchBuild.updateStored(s, dir2, null, "source", "text",
+        removeTargets = Seq(rm2))
+      val before = graft.io.SketchStore.loadTwoLevelLazy(s, dir2)
+      val advised = SketchBuild.compactionAdvised(s, dir2,
+        holeFracMax = 0.01).advised
+      val keep = docs.filter(col("source") =!= rm1 && col("source") =!= rm2)
+      val compacted = SketchBuild.compactStored(s, dir2, keep,
+        "source", "text")
+      val squeezed = advised &&
+        compacted.layout.numBins < before.layout.numBins &&
+        SketchBuild.compactionAdvised(s, dir2, 0.01).holeFrac == 0.0
+      val fresh = SketchBuild.build(s, keep, "source", "text", p)
+      val cp = ClassifyParams(relCutoff = 1.0, fprQuery = 1.0)
+      val a = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", graft.io.SketchStore.loadTwoLevelLazy(s, dir2), cp))
+        .withColumn("u", lit(1))
+      val b = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", fresh, cp)).withColumn("f", lit(1))
+      val mism = a.join(b, Seq("read_id", "target", "kmer_count"), "full_outer")
+        .filter(col("u").isNull || col("f").isNull)
+        .groupBy("read_id").agg(count(lit(1)).as("bad"))
+      docs.select(col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("doc_id"),
+          (col("bad").isNull && lit(squeezed)).as("ok"))
+    }),
+
     "q45_simhash_pairs" -> ((s, dir) => {
       // simhash banded PAIR generation recall guarantee: an exact-duplicate
       // pair has identical token multisets => identical simhash => hamming 0
@@ -1574,6 +1622,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q55_snapshot_isolation" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q56_compact_store" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
 

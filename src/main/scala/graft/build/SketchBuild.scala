@@ -545,26 +545,11 @@ object SketchBuild {
     val cards = cardsDf.as[(String, Long)].collect().sortBy(_._1).toSeq
     val (thePlan, layout) = plan(cards, p)
 
-    // coarse sizing (two-level): each group's union is at most the sum of
-    // the full hash sets of the targets touching it (span superset).
-    // The coarse filter runs at a LOOSER fp than the fine bins: a coarse
-    // false positive only inflates a group's count (an extra shard probe,
-    // pruning stays lossless — counts are upper bounds either way), never
-    // a result FP — so paying the fine fp's bits/element here would buy
-    // nothing. At 0.05 the resident top level costs ~6.2 bits/element vs
-    // 14.4 at 0.001 — the broadcast shrinks ~2.3x for free.
-    val (coarseBits, coarseH) = if (twoLevel) {
-      val groupLoad = new Array[Long](layout.numGroups)
-      cards.indices.foreach { t =>
-        val g0 = layout.base(t) / 64
-        val g1 = (layout.base(t) + layout.split(t) - 1) / 64
-        (g0 to g1).foreach(g => groupLoad(g) += cards(t)._2)
-      }
-      val maxN = math.max(1L, (groupLoad.max * 1.05).toLong)
-      val coarseFp = math.max(0.05, p.maxFp)
-      val m = Bloom.optimalBits(maxN, coarseFp)
-      (m, math.min(16, Bloom.optimalHashes(m, maxN)))
-    } else (64L, 1)
+    // coarse at a LOOSER fp than the fine bins (see coarseSizing): at 0.05
+    // the resident top level costs ~6.2 bits/element vs 14.4 at 0.001 —
+    // the broadcast shrinks ~2.3x for free
+    val (coarseBits, coarseH) =
+      if (twoLevel) coarseSizing(cards, layout, p.maxFp) else (64L, 1)
 
     // ---- pass 2 (or resume): route -> one shard per 64-bin group ----
     val entries = cards.indices.map(i =>
@@ -575,6 +560,24 @@ object SketchBuild {
         layout.numGroups, coarseBits, coarseH, twoLevel)
     }
     (cards, thePlan, layout, binsDf, cleanup)
+  }
+
+  /** Coarse-filter sizing for a two-level layout: each group's union is at
+    * most the sum of the full hash sets of the targets touching it (span
+    * superset); the coarse fp is deliberately looser than the fine one —
+    * a coarse FP only costs an extra shard probe, never a result FP. */
+  private def coarseSizing(cards: Seq[(String, Long)], layout: BinLayout,
+      maxFp: Double): (Long, Int) = {
+    val groupLoad = new Array[Long](layout.numGroups)
+    cards.indices.foreach { t =>
+      val g0 = layout.base(t) / 64
+      val g1 = (layout.base(t) + layout.split(t) - 1) / 64
+      (g0 to g1).foreach(g => groupLoad(g) += cards(t)._2)
+    }
+    val maxN = math.max(1L, (groupLoad.max * 1.05).toLong)
+    val coarseFp = math.max(0.05, maxFp)
+    val m = Bloom.optimalBits(maxN, coarseFp)
+    (m, math.min(16, Bloom.optimalHashes(m, maxN)))
   }
 
   /** In-memory variant: collect the (small) shard rows to the driver. */
@@ -613,10 +616,20 @@ object SketchBuild {
       contentCol: String, dir: String, p: IbfParams = IbfParams(),
       checkpointDir: Option[String] = None,
       persistShingles: Boolean = false): LazyTwoLevelDb = {
-    import spark.implicits._
     val (cards, thePlan, layout, binsDf, cleanup) =
       planAndShard(spark, df, targetCol, contentCol, p, checkpointDir,
         twoLevel = true, persistShingles)
+    storeGeneration(spark, dir, p, cards, thePlan, layout, binsDf, cleanup)
+  }
+
+  /** The executor-blob-writing tail shared by [[buildToStore]] and
+    * [[compactStored]]: claim the next generation, stream every group's
+    * (re-windowed) shard blob from the executor that aggregated it, stitch
+    * the coarse filter driver-side, commit the manifest. */
+  private def storeGeneration(spark: SparkSession, dir: String, p: IbfParams,
+      cards: Seq[(String, Long)], thePlan: IbfPlan, layout: BinLayout,
+      binsDf: DataFrame, cleanup: () => Unit): LazyTwoLevelDb = {
+    import spark.implicits._
     val numBins = layout.numBins
     val nGroups = layout.numGroups
     val bitsPerBin = thePlan.bitsPerBin
@@ -1051,6 +1064,68 @@ object SketchBuild {
     graft.io.SketchStore.writeManifest(spark, db, "two", coarseNew.toBytes,
       dir, gen, gens1)
     db
+  }
+
+  /** Degradation report of a stored two-level db after update cycles:
+    * `holeFrac` = fraction of allocated technical bins that are masked
+    * holes (removed targets' bins stay allocated — updateStored cannot
+    * re-route survivors), `fpDrift` = realized expectedMaxFp over the
+    * configured budget (grown targets exceed their planned capacity), and
+    * whether either crosses its threshold — the [[compactStored]] trigger.
+    * Metadata-only: no blob is read. */
+  final case class CompactionStats(holeFrac: Double, fpDrift: Double,
+      advised: Boolean)
+
+  def compactionAdvised(spark: SparkSession, dir: String,
+      holeFracMax: Double = 0.3, fpDriftMax: Double = 2.0): CompactionStats = {
+    val m = graft.io.SketchStore.readManifest(spark, dir)
+    val live = m.layout.split.map(_.toLong).sum
+    val holeFrac = 1.0 - live.toDouble / math.max(1, m.layout.numBins)
+    val fpDrift = m.plan.expectedMaxFp / m.params.maxFp
+    CompactionStats(holeFrac, fpDrift,
+      holeFrac > holeFracMax || fpDrift > fpDriftMax)
+  }
+
+  /**
+   * Compact a stored two-level db (capability of the reference's layout
+   * rebuild on update, src/ganon/build_update.py:157): squeeze the masked
+   * holes removed targets leave behind, re-fit bin capacity to the
+   * CURRENT cardinalities (clearing any expectedMaxFp drift from grown
+   * targets), and re-derive the coarse filter from the surviving hash
+   * sets (a Bloom cannot forget, so coarse staleness otherwise grows
+   * unboundedly across update cycles — SURVEY §2; [[compactionAdvised]]
+   * is the trigger). Pass 1 is SKIPPED — the sizing reuses the manifest's
+   * per-target cardinalities — so compaction costs ONE content scan (the
+   * re-shard), half a fresh build. The result commits as the next
+   * generation of the same store: pinned readers keep their snapshot,
+   * and [[graft.io.SketchStore.gcGenerations]] reclaims the old layout.
+   *
+   * `df` must hold the content of exactly the store's CURRENT targets
+   * (`targetCol` matching the manifest's target set): rows for unknown
+   * targets are ignored by the shard rout(e)ing join, and a target absent
+   * from `df` would come back with empty bins.
+   */
+  def compactStored(spark: SparkSession, dir: String, df: DataFrame,
+      targetCol: String, contentCol: String,
+      persistShingles: Boolean = false): LazyTwoLevelDb = {
+    val m = graft.io.SketchStore.readManifest(spark, dir)
+    require(m.layoutKind == "two", s"not a two-level store: ${m.layoutKind}")
+    val p = m.params
+    // fresh plan from the manifest's survivor cardinalities: holes gone,
+    // capacity re-fit, split counts re-derived
+    val cards = m.targets.zip(m.counts).sortBy(_._1).toSeq
+    val (thePlan, layout) = plan(cards, p)
+    val (coarseBits, coarseH) = coarseSizing(cards, layout, p.maxFp)
+    var hashed = hashedProjection(df, targetCol, contentCol, p)
+    if (persistShingles) hashed = hashed.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cleanup: () => Unit =
+      if (persistShingles) () => { hashed.unpersist(); () } else () => ()
+    val entries = cards.indices.map(i =>
+      (cards(i)._1, layout.base(i), layout.split(i)))
+    val binsDf = shardPass(spark, hashed, thePlan, entries,
+      layout.numGroups, coarseBits, coarseH, twoLevel = true)
+    storeGeneration(spark, dir, p, cards, thePlan, layout, binsDf, cleanup)
   }
 
   /** Copy an interleaved filter into a wider bin space (same bitsPerBin,

@@ -186,6 +186,49 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("compactStored: cycles then compact == fresh; holes squeezed, " +
+      "coarse shrinks") {
+    val docs = graft.synth.Corpus.df(spark, 1000, numRepos = 150, partitions = 8)
+      .cache()
+    val repos = docs.select("repo").distinct().orderBy("repo")
+      .collect().map(_.getString(0))
+    // remove megarepo plus roughly half the regular repos across two
+    // cycles: every group loses about half its hash mass, so the
+    // re-derived coarse must shrink and holes dominate the layout
+    val rmBig = "megarepo-0" // ~20% of rows
+    val rmHalf = repos.filter(r => r != rmBig && r.last % 2 == 1)
+    val p = IbfParams(k = 19, w = 31, maxFp = 1e-5)
+    val dir = freshDir("compact")
+    SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
+    // two update cycles of pure removal: holes + coarse staleness pile up
+    SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(rmBig))
+    SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = rmHalf)
+    val before = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    val stats = SketchBuild.compactionAdvised(spark, dir, holeFracMax = 0.3)
+    assert(stats.holeFrac > 0.3 && stats.advised,
+      s"mass removal must trip the hole trigger: $stats")
+    val removed = (rmHalf :+ rmBig).toSet
+    val keep = docs.filter(!col("repo").isin(removed.toSeq: _*))
+    val compacted = SketchBuild.compactStored(spark, dir, keep,
+      "repo", "content")
+    assert(compacted.generation == before.generation + 1)
+    assert(compacted.layout.numBins < before.layout.numBins,
+      "holes must be squeezed out of the layout")
+    assert(compacted.coarse.sizeBytes < before.coarse.sizeBytes,
+      "the re-derived coarse must shrink once the mega-target is gone")
+    assert(SketchBuild.compactionAdvised(spark, dir, 0.3).holeFrac == 0.0)
+    // equivalence with a from-scratch build of the surviving set — and the
+    // PLAN matches too (compaction reuses the manifest cardinalities,
+    // which for pure-removal cycles equal a fresh pass 1 on the survivors)
+    val fresh = SketchBuild.build(spark, keep, "repo", "content", p)
+    assert(compacted.plan == fresh.plan)
+    assert(matches(graft.io.SketchStore.loadTwoLevelLazy(spark, dir), docs)
+      == matches(fresh, docs))
+    docs.unpersist()
+  }
+
   test("lazy shard cache: LRU eviction bounds resident bytes") {
     val docs = graft.synth.Corpus.df(spark, 800, numRepos = 200, partitions = 8)
       .cache()
