@@ -1124,6 +1124,93 @@ object SparkEntry {
           (col("bad").isNull && lit(squeezed)).as("ok"))
     }),
 
+    "q57_cascade_tax" -> ((s, dir) => {
+      // cascade with PER-LEVEL taxonomy/LCA (GanonClassify.cpp:1470-1515:
+      // each hierarchy level loads its own filter tax + LCA): level 1 =
+      // lang/source bins from EVEN docs, strict, resolving multi-matches by
+      // LCA over root->lang->lang/source; level 2 = lang bins from ALL
+      // docs, loose, max-count (no tax). Oracle-checkable invariants: each
+      // eligible odd read appears EXACTLY once with a non-null assignment,
+      // and every level-1 multi-match resolution is an LCA NODE of the
+      // level-1 taxonomy (a lang or root), never an arbitrary leaf
+      val docs = t(s, dir, "documents")
+      val binned = docs.withColumn("target",
+        concat(col("lang"), lit("/"), col("source")))
+      val build1 = binned.filter(col("doc_id") % 2 === 0)
+      val query = binned.filter(col("doc_id") % 2 === 1)
+      val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
+      val lvl1 = SketchBuild.build(s, build1, "target", "text", p)
+      val lvl2 = SketchBuild.build(s, binned, "lang", "text", p)
+      val parents = build1.select("lang", "target").distinct().collect()
+        .flatMap(r => Seq(r.getString(1) -> r.getString(0),
+          r.getString(0) -> "root")).toMap
+      val lca1 = graft.core.Lca.build(parents, "root")
+      val langs = docs.select("lang").distinct().collect()
+        .map(_.getString(0)).toSet + "root"
+      val out = Classify.cascadePerLevelTax(s, query, "doc_id", "text",
+        Seq(
+          ("1_source", lvl1,
+            ClassifyParams(relCutoff = 0.6, relFilter = 0.1, fprQuery = 1e-9),
+            Some(lca1)),
+          ("2_lang", lvl2,
+            ClassifyParams(relCutoff = 0.25, relFilter = 1.0, fprQuery = 1.0),
+            None)))
+      val isLcaNode = udf((a: String) => langs.contains(a))
+      out.groupBy("read_id").agg(
+        (count(lit(1)) === 1 &&
+          min(col("assignment").isNotNull) === true &&
+          min(when(col("hierarchy") === "1_source" && !col("unique"),
+            isLcaNode(col("assignment")).cast("int")).otherwise(1)) === 1)
+          .as("ok"))
+        .select(col("read_id").cast("long").as("read_id"), col("ok"))
+    }),
+
+    "q53_report_toppct" -> ((s, dir) => {
+      // top-percentile per rank (report.py:722-738): within each rank_depth
+      // keep the rows at or above the ceil(p*n)-th largest percentage; the
+      // oracle replays the window on exact counts
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .groupBy(concat(col("lang"), lit("/"), col("source")).as("node"))
+        .agg(count(lit(1)).as("direct_count"))
+      val lineage = docs.select("lang", "source").distinct()
+        .select(concat(col("lang"), lit("/"), col("source")).as("node"),
+          array(lit("root"), col("lang"),
+            concat(col("lang"), lit("/"), col("source"))).as("lineage"))
+        .union(docs.select(col("lang").as("node"),
+          array(lit("root"), col("lang")).as("lineage")).distinct())
+        .union(s.range(1).select(lit("root").as("node"),
+          array(lit("root")).as("lineage")))
+      val tre = Report.tree(counts, lineage)
+      Report.topPercentilePerRank(tre, 0.5)
+        .select(col("node"), col("rank_depth").cast("long").as("rank_depth"),
+          col("cumulative").cast("long").as("cumulative"))
+    }),
+
+    "q54_report_minmax" -> ((s, dir) => {
+      // report-side min/max-count with ganon's DUAL semantics
+      // (report.py:766-780): v < 1 is a fraction of the total, v >= 1 an
+      // absolute count — exercised together (fractional lower bound,
+      // absolute upper bound) so both branches face the oracle
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .groupBy(concat(col("lang"), lit("/"), col("source")).as("node"))
+        .agg(count(lit(1)).as("direct_count"))
+      val lineage = docs.select("lang", "source").distinct()
+        .select(concat(col("lang"), lit("/"), col("source")).as("node"),
+          array(lit("root"), col("lang"),
+            concat(col("lang"), lit("/"), col("source"))).as("lineage"))
+        .union(docs.select(col("lang").as("node"),
+          array(lit("root"), col("lang")).as("lineage")).distinct())
+        .union(s.range(1).select(lit("root").as("node"),
+          array(lit("root")).as("lineage")))
+      val total = docs.count()
+      val tre = Report.tree(counts, lineage)
+      Report.maxCountFilter(
+        Report.minCountFilter(tre, 0.04, total), total / 5.0, total)
+        .select(col("node"), col("cumulative").cast("long").as("cumulative"))
+    }),
+
     "q45_simhash_pairs" -> ((s, dir) => {
       // simhash banded PAIR generation recall guarantee: an exact-duplicate
       // pair has identical token multisets => identical simhash => hamming 0
@@ -1628,6 +1715,50 @@ object SparkEntry {
     "q56_compact_store" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
+
+    "q53_report_toppct" ->
+      """WITH leaf AS (
+        |  SELECT lang || '/' || source AS node, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT node, 2 AS rank_depth, c AS cumulative FROM leaf
+        |  UNION ALL
+        |  SELECT lang, 1, CAST(SUM(c) AS BIGINT) FROM leaf GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'root', 0, CAST(SUM(c) AS BIGINT) FROM leaf),
+        |rk AS (
+        |  SELECT node, rank_depth, cumulative,
+        |    row_number() OVER (PARTITION BY rank_depth
+        |      ORDER BY cumulative DESC, node) AS rn,
+        |    COUNT(*) OVER (PARTITION BY rank_depth) AS cnt
+        |  FROM nodes)
+        |SELECT node, CAST(rank_depth AS BIGINT) AS rank_depth, cumulative
+        |FROM rk WHERE rn <= CEIL(cnt * 0.5)""".stripMargin,
+
+    "q54_report_minmax" ->
+      """WITH leaf AS (
+        |  SELECT lang || '/' || source AS node, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT node, c AS cumulative FROM leaf
+        |  UNION ALL
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) FROM leaf GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'root', CAST(SUM(c) AS BIGINT) FROM leaf),
+        |tot AS (SELECT COUNT(*) AS t FROM documents)
+        |SELECT node, cumulative
+        |FROM nodes, tot
+        |WHERE cumulative >= 0.04 * t AND cumulative <= t / 5.0""".stripMargin,
+
+    "q57_cascade_tax" ->
+      """SELECT CAST(doc_id AS BIGINT) AS read_id, true AS ok
+        |FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |  BETWEEN 1 AND 65535""".stripMargin,
 
     "q52_stream_dedup" ->
       """SELECT DISTINCT sha256(text) AS digest FROM documents""".stripMargin,

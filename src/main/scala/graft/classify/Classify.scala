@@ -518,14 +518,27 @@ object Classify {
 
   /** Cascade with PER-LEVEL ClassifyParams — the reference allows each
     * hierarchy label its own rel-cutoff / rel-filter / fpr-query
-    * (GanonClassify.cpp:353-401 parse_hierarchy). */
+    * (GanonClassify.cpp:353-401 parse_hierarchy). One shared taxonomy/LCA
+    * across levels; see [[cascadePerLevelTax]] for per-level taxonomies. */
   def cascadePerLevel(spark: SparkSession, reads: DataFrame, idCol: String,
       contentCol: String, levels: Seq[(String, ProbeDb, ClassifyParams)],
-      lcaOpt: Option[Lca] = None): DataFrame = {
+      lcaOpt: Option[Lca] = None): DataFrame =
+    cascadePerLevelTax(spark, reads, idCol, contentCol,
+      levels.map { case (label, db, cp) => (label, db, cp, lcaOpt) })
+
+  /** Cascade with PER-LEVEL params AND per-level taxonomy/LCA — the
+    * reference loads each hierarchy level's own filter-specific tax and
+    * builds its LCA per level (GanonClassify.cpp:1470-1515): a level over
+    * assembly bins resolves multi-matches against the assembly taxonomy
+    * while a later lang-level runs max-count or its own tree. A level's
+    * `None` falls back to the max-count tie-break. */
+  def cascadePerLevelTax(spark: SparkSession, reads: DataFrame, idCol: String,
+      contentCol: String,
+      levels: Seq[(String, ProbeDb, ClassifyParams, Option[Lca])]): DataFrame = {
     var remaining = reads
     var acc: Option[DataFrame] = None
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    levels.foreach { case (label, db, cp) =>
+    levels.foreach { case (label, db, cp, lcaOpt) =>
       val res = classify(spark, remaining, idCol, contentCol, db, cp, lcaOpt)
         .toDF().persist()
       cached += res
