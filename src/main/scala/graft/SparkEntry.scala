@@ -1211,6 +1211,86 @@ object SparkEntry {
         .select(col("node"), col("cumulative").cast("long").as("cumulative"))
     }),
 
+    "q58_png_decode" -> ((s, dir) => {
+      // REAL in-JVM image decode (PNG = DEFLATE + scanline filters; the
+      // encoder cycles ALL FIVE filter types, so decode exercises every
+      // unfilter path): synthesize a deterministic 16x8 grayscale PNG per
+      // doc, decode through the byte-budget multimodal pipeline, emit the
+      // pixel sum — a value only a correct inflate+unfilter can produce —
+      // and let the oracle recompute it arithmetically from doc_id
+      val docs = t(s, dir, "documents")
+      val mkPng = udf((id: Long) => {
+        val px = Array.tabulate(16 * 8)(i => ((i * 31 + id * 7) % 256).toByte)
+        graft.ops.Png.encode(16, 8, 1, px)
+      })
+      val media = docs.select(col("doc_id").cast("long").as("doc_id"),
+          mkPng(col("doc_id").cast("long")).as("payload"),
+          lit("image/png").as("media_type"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      Multimodal.extractImageMeta(s, media).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("pixel_sum"))
+    }),
+
+    "q59_stream_cascade" -> ((s, dir) => {
+      // streaming hierarchy cascade (foreachBatch running the batch cascade
+      // per micro-batch — the reference's level barriers are intra-read, so
+      // any prefix of the stream equals the batch answer on the same rows):
+      // the streamed (read, hierarchy, assignment) rows must hash-match the
+      // batch cascade of the same file, and the q27 invariants hold
+      val docs = t(s, dir, "documents")
+      val srcDir = java.nio.file.Paths.get(
+        s"/tmp/graft_stream_casc_${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("documents.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
+      val build1 = docs.filter(col("doc_id") % 2 === 0)
+      val lvl1 = SketchBuild.build(s, build1, "source", "text", p)
+      val lvl2 = SketchBuild.build(s, docs, "lang", "text", p)
+      val levels = Seq(
+        ("1_source", lvl1.asInstanceOf[graft.build.ProbeDb],
+          ClassifyParams(relCutoff = 0.6, relFilter = 0.1, fprQuery = 1e-9),
+          Option.empty[graft.core.Lca]),
+        ("2_lang", lvl2.asInstanceOf[graft.build.ProbeDb],
+          ClassifyParams(relCutoff = 0.25, relFilter = 1.0, fprQuery = 1.0),
+          Option.empty[graft.core.Lca]))
+      val outDir = s"/tmp/graft_q59_out_${math.abs(dir.hashCode)}"
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(new java.io.File(outDir))
+      val stream = s.readStream.schema(docs.schema).parquet(srcDir.toString)
+        .filter(col("doc_id") % 2 === 1)
+      val q = graft.streaming.StreamClassify.cascadeForeachBatch(
+        s, stream, "doc_id", "text", levels) { (out, _) =>
+        out.select("read_id", "hierarchy", "assignment")
+          .write.mode("append").parquet(outDir)
+      }.start()
+      q.processAllAvailable(); q.stop()
+      val streamed = s.read.parquet(outDir)
+      val batchOut = Classify.cascadePerLevelTax(s,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", levels)
+      val mism = streamed.withColumn("a", lit(1))
+        .join(batchOut.select("read_id", "hierarchy", "assignment")
+          .withColumn("b", lit(1)),
+          Seq("read_id", "hierarchy", "assignment"), "full_outer")
+        .filter(col("a").isNull || col("b").isNull)
+        .select("read_id").distinct().withColumn("bad", lit(1))
+      batchOut.groupBy("read_id").agg(
+        (count(lit(1)) === 1 &&
+          min(col("assignment").isNotNull) === true).as("base_ok"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("read_id"),
+          (col("base_ok") && col("bad").isNull).as("ok"))
+    }),
+
     "q45_simhash_pairs" -> ((s, dir) => {
       // simhash banded PAIR generation recall guarantee: an exact-duplicate
       // pair has identical token multisets => identical simhash => hamming 0
@@ -1751,6 +1831,22 @@ object SparkEntry {
         |SELECT node, cumulative
         |FROM nodes, tot
         |WHERE cumulative >= 0.04 * t AND cumulative <= t / 5.0""".stripMargin,
+
+    "q59_stream_cascade" ->
+      """SELECT CAST(doc_id AS BIGINT) AS read_id, true AS ok
+        |FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]))
+        |  BETWEEN 1 AND 65535""".stripMargin,
+
+    "q58_png_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(list_sum([(i*31 + doc_id*7) % 256
+        |    for i in generate_series(0, 127)]) AS BIGINT) AS pixel_sum
+        |FROM documents""".stripMargin,
 
     "q57_cascade_tax" ->
       """SELECT CAST(doc_id AS BIGINT) AS read_id, true AS ok

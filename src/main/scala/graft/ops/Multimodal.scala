@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /**
  * Multimodal plumbing: image/audio/video payloads ride as opaque `binary`
- * columns with typed metadata. The decode/feature-extract step is a STUB
- * (no codec libraries ship in this container — clearly marked below); the
+ * columns with typed metadata. PNG payloads get a REAL in-JVM decode
+ * ([[Png]]: inflate + per-scanline unfiltering) via [[extractImageMeta]];
+ * other codecs (JPEG/audio/video need libraries this container doesn't
+ * ship) fall back to the clearly-marked stub feature below. The
  * Spark-side plumbing — schema, batched per-partition processing shape,
- * partition sizing — is real and tested.
+ * partition sizing — is shared by both paths.
  *
  * At scale: binary payloads dominate bytes, so the pipeline repartitions
  * by byte budget (`targetPartitionBytes`), processes per-partition in
@@ -21,6 +23,11 @@ object Multimodal {
       width: Int, height: Int)
 
   final case class MediaFeature(doc_id: Long, n_bytes: Long, feature: Array[Float])
+
+  /** Decoded-image row: dimensions straight from IHDR, pixel_sum over the
+    * unfiltered bytes — a value only a correct full decode can produce. */
+  final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+      channels: Int, pixel_sum: Long)
 
   /** Wrap a text table as a binary-payload media table (payload = UTF-8
     * bytes; the container has no real media fixtures). */
@@ -65,6 +72,34 @@ object Multimodal {
       .mapPartitions { iter =>
         iter.map { case (id, payload, nb) =>
           MediaFeature(id, nb, stubDecodeFeature(payload))
+        }
+      }
+  }
+
+  /** REAL image decode over PNG payloads (same byte-budget partitioning as
+    * [[extractFeatures]]): each partition decodes its payloads in-JVM —
+    * inflate + unfilter, [[Png.decode]] — and emits per-image dimensions
+    * plus the pixel sum. Non-PNG payloads are skipped (width = -1 rows
+    * would poison oracles; callers filter by media_type upstream). */
+  def extractImageMeta(spark: SparkSession, media: DataFrame,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[ImageMeta] = {
+    import spark.implicits._
+    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+      .first().getLong(0)
+    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    media.select(col("doc_id"), col("payload"))
+      .repartition(math.min(parts, 2048))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, payload) =>
+          if (!Png.isPng(payload)) None
+          else {
+            val img = Png.decode(payload)
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+            Some(ImageMeta(id, img.width, img.height, img.channels, sum))
+          }
         }
       }
   }

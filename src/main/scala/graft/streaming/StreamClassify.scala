@@ -83,6 +83,29 @@ object StreamClassify {
   }
 
   /**
+   * Streaming hierarchy CASCADE — the reference's per-level barriers
+   * (GanonClassify.cpp:1461-1639) run per micro-batch: reads are
+   * independent rows and level barriers are intra-read, so the streaming
+   * answer over any prefix equals the batch cascade over the same rows.
+   * Implemented with foreachBatch so the BATCH cascade code runs verbatim
+   * inside each micro-batch (one code path to verify, zero semantic
+   * drift); `sink` receives each batch's cascade output (persisted — the
+   * sink need not cache) and the batch id. Start the returned writer and
+   * the per-level dbs ride along broadcast as in batch mode.
+   */
+  def cascadeForeachBatch(spark: SparkSession, stream: DataFrame,
+      idCol: String, contentCol: String,
+      levels: Seq[(String, ProbeDb, ClassifyParams,
+        Option[graft.core.Lca])])(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val out = Classify.cascadePerLevelTax(spark, batch.toDF(), idCol,
+        contentCol, levels)
+      try sink(out, batchId) finally out.unpersist()
+      ()
+    }
+
+  /**
    * Per-target RUNNING distinct-shingle estimate via custom streaming
    * state (`KeyValueGroupedDataset.mapGroupsWithState`): the group state
    * is a serialized mergeable HLL; each micro-batch folds its rows'

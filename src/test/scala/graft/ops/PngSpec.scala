@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Hashing
+
+/** The pure-JVM PNG codec: exact pixel roundtrip across color types and
+  * sizes (the encoder cycles all five scanline filters, so every unfilter
+  * path is on the line), plus rejection of non-PNG payloads. */
+class PngSpec extends AnyFunSuite {
+
+  private def pix(n: Int, seed: Long): Array[Byte] =
+    Array.tabulate(n)(i => Hashing.mix64(seed + i).toByte)
+
+  test("roundtrip: gray / gray+alpha / RGB / RGBA, odd sizes, all filters") {
+    for {
+      channels <- Seq(1, 2, 3, 4)
+      (w, h) <- Seq((1, 1), (16, 8), (7, 13), (33, 5), (64, 64))
+    } {
+      val px = pix(w * h * channels, 31L * channels + w * 1000 + h)
+      val bytes = Png.encode(w, h, channels, px)
+      assert(Png.isPng(bytes))
+      val img = Png.decode(bytes)
+      assert(img.width == w && img.height == h && img.channels == channels)
+      assert(img.pixels.sameElements(px),
+        s"pixel mismatch at channels=$channels ${w}x$h")
+    }
+  }
+
+  test("decode rejects non-PNG and truncated payloads") {
+    intercept[IllegalArgumentException] {
+      Png.decode("definitely not a png".getBytes)
+    }
+    val good = Png.encode(8, 8, 1, pix(64, 7L))
+    intercept[Exception] { Png.decode(good.take(good.length - 20)) }
+  }
+
+  test("extractImageMeta decodes PNGs, skips foreign payloads") {
+    val spark = graft.spark.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 20L).map { id =>
+      val payload =
+        if (id % 5 == 4) Array[Byte](1, 2, 3) // not a PNG: must be skipped
+        else Png.encode(4, 3, 1,
+          Array.tabulate(12)(i => ((i + id) % 256).toByte))
+      (id, payload)
+    }
+    val media = rows.toDF("doc_id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    val out = Multimodal.extractImageMeta(spark, media)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out.size == 16)
+    out.foreach { case (id, m) =>
+      assert(m.width == 4 && m.height == 3 && m.channels == 1)
+      assert(m.pixel_sum == (0 until 12).map(i => (i + id) % 256).sum)
+    }
+  }
+}
