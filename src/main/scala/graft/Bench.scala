@@ -129,10 +129,14 @@ object Bench {
     // pairs ride along in the JSON for transparency
     val tSmall = pairs.map(_._1).min
     val tLarge = pairs.map(_._2).min
+    val tSmallMean = pairs.map(_._1).sum / reps
+    val tLargeMean = pairs.map(_._2).sum / reps
     val gb = bytes / 1e9
     val rSmall = gb / tSmall
     val rLarge = gb / tLarge
     val efficiency = rLarge / (rSmall * (nLarge.toDouble / nSmall))
+    val efficiencyMean =
+      (gb / tLargeMean) / ((gb / tSmallMean) * (nLarge.toDouble / nSmall))
 
     val spark = session(cpus)
     val collector = graft.metrics.TaskMetricsCollector.attach(spark)
@@ -141,12 +145,15 @@ object Bench {
     // deliberately small N to stay in the linear region); min-of-2 like
     // everything else on this co-tenanted box, and never worse than the
     // best 4N measurement (the box's demonstrated capability)
-    val (tFull, cpusFull) = locally {
+    val (tFull, cpusFull, tFullMean) = locally {
       val (cF, _, _) = makeCorpus(spark, corpusDir)
       corpusJob(spark, cF.sample(withReplacement = false, 0.07, 42))
-      val t = math.min(corpusJob(spark, cF), corpusJob(spark, cF))
+      val r1 = corpusJob(spark, cF)
+      val r2 = corpusJob(spark, cF)
+      val t = math.min(r1, r2)
       cF.unpersist()
-      if (t <= tLarge) (t, cpus) else (tLarge, nLarge)
+      if (t <= tLarge) (t, cpus, (r1 + r2) / 2)
+      else (tLarge, nLarge, (r1 + r2) / 2)
     }
 
     // ---- headline queries on the driver-provided SF dir ----
@@ -168,16 +175,24 @@ object Bench {
     def f(d: Double): String = "%.4f".format(d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // the MEAN rides along next to the min-of-k headline (the min is the
+    // machine's demonstrated capability on this co-tenanted box; the mean
+    // is what a random window saw — both are in the JSON, no policy hiding)
     val throughput =
       s"""{"rows":$files,"bytes":$bytes,"cpus":$cpusFull,""" +
       s""""build_classify_sec":${f(tFull)},""" +
-      s""""files_per_sec":${f(files / tFull)},"gb_per_sec":${f(gb / tFull)}}"""
+      s""""build_classify_sec_mean":${f(tFullMean)},""" +
+      s""""files_per_sec":${f(files / tFull)},"gb_per_sec":${f(gb / tFull)},""" +
+      s""""files_per_sec_mean":${f(files / tFullMean)},""" +
+      s""""gb_per_sec_mean":${f(gb / tFullMean)}}"""
     val rawPairs = pairs.map { case (a, b) => s"[${f(a)},${f(b)}]" }
       .mkString("[", ",", "]")
     val scaling =
       s"""{"n_small":$nSmall,"n_large":$nLarge,"sec_at_n":${f(tSmall)},""" +
       s""""sec_at_4n":${f(tLarge)},"gbps_at_n":${f(rSmall)},""" +
       s""""gbps_at_4n":${f(rLarge)},"efficiency":${f(efficiency)},""" +
+      s""""sec_at_n_mean":${f(tSmallMean)},"sec_at_4n_mean":${f(tLargeMean)},""" +
+      s""""efficiency_mean":${f(efficiencyMean)},""" +
       s""""reps":$reps,"raw_pairs_sec":$rawPairs,""" +
       s""""method":"min per level across reps (co-tenant noise; see BASELINE.md)"}"""
     // per-task lineage+metrics (north rule): JSONL next to the bench output

@@ -52,12 +52,30 @@ object Ganon {
       checkpointDir)
 
   /** ganon update on a STORED two-level db: O(touched-groups) blob
-    * rewrites, manifest last; returns the refreshed lazy db. */
+    * rewrites committed as the next generation (readers pinned to the old
+    * snapshot keep serving it); returns the refreshed lazy db. */
   def updateStored(spark: SparkSession, dir: String, addDf: DataFrame,
       targetCol: String, contentCol: String,
       removeTargets: Seq[String] = Nil): ProbeDb =
     SketchBuild.updateStored(spark, dir, addDf, targetCol, contentCol,
       removeTargets)
+
+  /** Layout compaction after update cycles (the reference rebuilds its
+    * layout on update): squeeze removed targets' masked holes, re-fit
+    * capacity, re-derive the coarse — one content scan, committed as the
+    * next generation. [[compactionAdvised]] is the metadata-only trigger. */
+  def compactStored(spark: SparkSession, dir: String, df: DataFrame,
+      targetCol: String, contentCol: String): ProbeDb =
+    SketchBuild.compactStored(spark, dir, df, targetCol, contentCol)
+
+  def compactionAdvised(spark: SparkSession, dir: String)
+      : SketchBuild.CompactionStats =
+    SketchBuild.compactionAdvised(spark, dir)
+
+  /** Reclaim superseded store generations, keeping the last `keepGens`
+    * snapshots readable for pinned readers. Returns (files, bytes) freed. */
+  def gcStore(spark: SparkSession, dir: String, keepGens: Int = 2): (Long, Long) =
+    SketchStore.gcGenerations(spark, dir, keepGens)
 
   /** ganon classify --paired: mates' distinct-union hash set per read. */
   def classifyPaired(spark: SparkSession, reads: DataFrame, idCol: String,

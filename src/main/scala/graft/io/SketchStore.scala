@@ -102,6 +102,19 @@ object SketchStore {
             "crashed one). If no writer is running, call " +
             "SketchStore.releaseStaleLocks(spark, dir) and retry.", e)
     }
+    // post-claim staleness check: a writer that loaded the SAME base
+    // generation may have committed this gen and released its lock between
+    // our load and our claim — the lock file is recreatable, so the claim
+    // alone can't see that. CURRENT only advances under this very lock, so
+    // holding it makes the re-read race-free: CURRENT >= gen means our
+    // snapshot is stale and writing would mutate a COMMITTED generation.
+    if (currentGeneration(conf, dir).exists(_ >= gen)) {
+      fs.delete(lock, false)
+      throw new IllegalStateException(
+        s"sketch store $dir advanced to generation >= $gen while this " +
+          "writer was preparing (a concurrent update committed first); " +
+          "reload the store and retry against the new snapshot")
+    }
   }
 
   private def releaseLock(conf: Configuration, dir: String, gen: Int): Unit = {

@@ -112,6 +112,27 @@ class GanonApiSpec extends AnyFunSuite {
     assert(rep.select("sample").distinct().count() == 2)
     assert(sta.count() == 2 &&
       sta.agg(sum("seq_classified")).first().getLong(0) == 80L)
+
+    // compaction verbs: the removal above left masked holes; advise ->
+    // compact (one content scan over survivors) -> advise clean; GC then
+    // reclaims the superseded generations' blobs
+    val pre = Ganon.compactionAdvised(spark, dir)
+    assert(pre.holeFrac > 0.0)
+    val keep = corpus.filter($"repo" =!= repos.last)
+    val compacted = Ganon.compactStored(spark, dir, keep, "repo", "content")
+    assert(compacted.targets.length == 9)
+    assert(Ganon.compactionAdvised(spark, dir).holeFrac == 0.0)
+    val (gcFiles, gcBytes) = Ganon.gcStore(spark, dir, keepGens = 1)
+    assert(gcFiles > 0 && gcBytes > 0)
+    // the store still classifies after GC (current snapshot untouched)
+    val reloaded = Ganon.load(spark, dir)
+    assert(reloaded.targets.length == 9)
+
+    // a store-backed handle has nothing to save — clear error, no MatchError
+    val err = intercept[IllegalArgumentException] {
+      Ganon.save(spark, compacted, "/tmp/graft_api_nosave")
+    }
+    assert(err.getMessage.contains("store-backed"))
   }
 
   test("facade: PAIRED batch manifest hashes the mates' union") {

@@ -125,6 +125,30 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("lost-update race: a stale writer cannot reclaim a committed " +
+      "generation") {
+    val docs = graft.synth.Corpus.df(spark, 120, numRepos = 6, partitions = 2)
+    val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
+    val dir = freshDir("race")
+    SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
+    val rm = docs.select("repo").distinct().orderBy("repo")
+      .first().getString(0)
+    // writer B commits generation 2 and releases its lock...
+    SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(rm))
+    // ...then writer A — which loaded at generation 1 BEFORE B committed —
+    // tries to claim generation 2: the recreatable lock alone would let it
+    // overwrite committed blobs; the post-claim CURRENT check must refuse
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val e = intercept[IllegalStateException] {
+      graft.io.SketchStore.claimGeneration(hconf, dir, 2)
+    }
+    assert(e.getMessage.contains("advanced"))
+    // the aborted claim left no lock behind: a fresh update (gen 3) works
+    val upd = SketchBuild.updateStored(spark, dir, null, "repo", "content")
+    assert(upd.generation == 3)
+  }
+
   test("snapshot isolation: a handle loaded pre-update serves its pinned " +
       "generation through and after the update") {
     val docs = graft.synth.Corpus.df(spark, 600, numRepos = 60, partitions = 4)
