@@ -1242,13 +1242,12 @@ object SparkEntry {
       // the streamed (read, hierarchy, assignment) rows must hash-match the
       // batch cascade of the same file, and the q27 invariants hold
       val docs = t(s, dir, "documents")
-      val srcDir = java.nio.file.Paths.get(
-        s"/tmp/graft_stream_casc_${math.abs(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("documents.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      // stage a MULTI-FILE copy so maxFilesPerTrigger=1 yields several
+      // micro-batches — the equality claim is only meaningful when the
+      // stream actually crosses batch boundaries
+      val srcDir = s"/tmp/graft_stream_casc_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(s"$srcDir/_SUCCESS").exists())
+        docs.repartition(4).write.mode("overwrite").parquet(srcDir)
       val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
       val build1 = docs.filter(col("doc_id") % 2 === 0)
       val lvl1 = SketchBuild.build(s, build1, "source", "text", p)
@@ -1266,7 +1265,9 @@ object SparkEntry {
         f.delete()
       }
       deleteRec(new java.io.File(outDir))
-      val stream = s.readStream.schema(docs.schema).parquet(srcDir.toString)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1") // 4 staged files -> 4 batches
+        .parquet(srcDir)
         .filter(col("doc_id") % 2 === 1)
       val q = graft.streaming.StreamClassify.cascadeForeachBatch(
         s, stream, "doc_id", "text", levels) { (out, _) =>

@@ -256,7 +256,12 @@ final class SerializableHadoopConf(
  * HIBF resident, GanonClassify.cpp:949-986) — and `maxCacheBytes` bounds
  * even the working set: past it, the least-recently-probed shard is
  * evicted (a shifting workload over a 500 GB store no longer resident-sets
- * every shard it ever touched).
+ * every shard it ever touched). SIZE THE BOUND ABOVE THE WORKLOAD'S
+ * INSTANTANEOUS working set: eviction granularity is per probe, so a
+ * bound below what one saturating sweep needs degrades to a blob
+ * re-fetch+parse per (read, evicted group) — the bound protects memory
+ * across workload SHIFTS, it is not a magic way to probe a store bigger
+ * than the reads' own reach.
  *
  * SNAPSHOT PINNING: the handle carries its generation's per-group blob
  * pointers (`shardGens`), and updates never mutate committed blobs — only

@@ -63,6 +63,26 @@ object StoreBench {
         f"targets=${flat.targets.length} groups=${lazyDb.layout.numGroups} " +
         f"flatMB=${flat.sizeBytes / 1e6}%.1f coarseMB=${lazyDb.sizeBytes / 1e6}%.1f")
     }
+
+    // LRU-bounded cache sanity at full width: a bound that HOLDS the
+    // workload's working set costs nothing (same classify time, resident
+    // bytes == store bytes). The opposite misconfiguration — a bound BELOW
+    // a saturating workload's working set — degrades to one ~shardMB
+    // re-fetch+parse per (read, evicted group) and is measured pathological
+    // by construction; the bound exists for SHIFTING working sets (see
+    // LazyTwoLevelDb scaladoc), with bounded-ness + answer-neutrality
+    // proven in BuildToStoreSpec at tolerable scale.
+    val totalShardBytes = new java.io.File(s"$dir/shards_v1").listFiles()
+      .filter(_.getName.endsWith(".bin")).map(_.length()).sum
+    spark.conf.set("spark.graft.shard.cache.bytes",
+      (totalShardBytes + (64 << 20)).toString)
+    val lru = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    spark.conf.unset("spark.graft.shard.cache.bytes")
+    val tLru = time { classifyAt(lru, 0.25) }
+    println(f"[store] LRU bound=${(totalShardBytes + (64 << 20)) / 1e6}%.1f MB " +
+      f"(holds the working set): classify ${tLru}%.2f s, " +
+      f"resident=${lru.residentBytes / 1e6}%.1f MB " +
+      f"loaded=${lru.loadedShards}/${lru.layout.numGroups}")
     spark.stop()
   }
 }
