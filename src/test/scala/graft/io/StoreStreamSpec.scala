@@ -99,6 +99,54 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(fin("a")._2 == 3 && fin("b")._2 == 2)
   }
 
+  test("streaming state: checkpoint RESTART resumes exactly (north-rule " +
+      "resumability, streaming side)") {
+    // run 1 processes file 1 and stops; a NEW query over the same
+    // checkpointLocation must (a) skip the already-processed file and
+    // (b) recover the HLL state store, so file 2's update carries file 1's
+    // contributions — n_reads and the distinct estimate prove both
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ck_src").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ck_out").toString
+    val b1 = Seq(("a", "abcdefghij"), ("a", "abcdefgh"), ("b", "0123456789"))
+    val b2 = Seq(("a", "abcdefghij-XYZWVUT"))
+    b1.toDF("t", "content").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    // the memory sink can't recover from a checkpoint; foreachBatch can —
+    // each batch's updated rows append to a parquet log
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamClassify.runningDistinct(spark, stream, "t", "content",
+          k = 8, w = 8)
+        .toDF("target", "est", "n_reads")
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckDir)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(outDir).count() == 2) // both targets updated
+    b2.toDF("t", "content").coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val all = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // run 2 processed ONLY file 2 (already-processed files skipped): one
+    // new row, for 'a' — and its state includes file 1's contributions
+    assert(all.length == 3)
+    val exactA = (b1 ++ b2).filter(_._1 == "a")
+      .flatMap(r => graft.core.Hashing.shingles(r._2, 8, 8)).distinct.size
+    val aFinal = all.filter(r => r._1 == "a" && r._3 == 3)
+    assert(aFinal.length == 1,
+      "n_reads must count file-1 rows recovered from the state store")
+    assert(aFinal.head._2 == exactA,
+      "estimate must include the pre-restart state")
+  }
+
   test("streaming dedup: first-occurrence per digest across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
