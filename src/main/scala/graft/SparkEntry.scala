@@ -437,6 +437,37 @@ object SparkEntry {
           (col("found") >= col("total") * 0.6).as("ok"))
     }),
 
+    "q60_ann_ivf" -> ((s, dir) => {
+      // IVF (centroid-partitioned) ANN — the second scale path the brief
+      // names next to LSH: bounded-sample spherical-k-means codebook,
+      // map-side cell assignment, nProbe-cell probe with exact re-rank.
+      // Per-query recall@5 vs the in-query brute force must clear the
+      // bound (same oracle shape as q26)
+      // these embeddings are near-uniform (no real cluster structure — the
+      // adversarial case for IVF), so the honest bounds are per-query
+      // recall@5 >= 0.4 AND aggregate recall >= 0.7 at a 12/32-cell probe;
+      // everything (codebook, assignment, brute force) is deterministic,
+      // so the oracle's `true` asserts exactly these measured floors
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val ivf = Ann.ivfTopK(s, emb, queries, "vec_id", "embedding", 5,
+        nCells = 32, nProbe = 12)
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = Ann.bruteForceTopK(s, emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val per = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("found"))
+        .join(bf.groupBy("query_id").agg(count(lit(1)).as("total")),
+          Seq("query_id"), "right")
+        .na.fill(0L, Seq("found"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      per.select(col("query_id"),
+        (col("found") >= col("total") * 0.4 &&
+          sum(col("found")).over(wAll) >= sum(col("total")).over(wAll) * 0.7)
+          .as("ok"))
+    }),
+
     "q27_cascade" -> ((s, dir) => {
       // hierarchy cascade with PER-LEVEL params (GanonClassify.cpp:353-401
       // per-hierarchy config): level 1 = source bins from EVEN docs under a
@@ -1664,6 +1695,10 @@ object SparkEntry {
         |  BETWEEN 1 AND 65535""".stripMargin,
 
     "q26_ann_lsh" ->
+      """SELECT vec_id AS query_id, true AS ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q60_ann_ivf" ->
       """SELECT vec_id AS query_id, true AS ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

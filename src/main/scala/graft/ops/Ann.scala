@@ -182,6 +182,100 @@ object Ann {
   }
 
   /**
+   * IVF (inverted-file) ANN — the centroid-partitioned scale path next to
+   * [[lshTopK]]: a small spherical-k-means codebook is trained on a
+   * BOUNDED sample (driver-side Lloyd over ≤ `sampleCap` rows —
+   * deterministic seeds, no RNG state), every corpus row is assigned
+   * map-side to its nearest centroid (`cell` column — at real scale this
+   * is the partitioning/bucketing column, so a probe touches only
+   * nProbe/nCells of the data), and each query scans only its `nProbe`
+   * nearest cells with the exact cosine re-rank inside the cell join.
+   * Returns the same (query_id, rank, neighbor_id, cosine) shape as
+   * [[bruteForceTopK]]; recall is measured against it in OpsSpec and
+   * bounded in the driver query (q60).
+   */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 32,
+      nProbe: Int = 8, iters: Int = 8, sampleCap: Int = 8192,
+      seed: Long = 17L): DataFrame = {
+    import spark.implicits._
+    val centroids = ivfTrain(spark, corpus, idCol, vecCol, nCells, iters,
+      sampleCap, seed)
+    val cB = spark.sparkContext.broadcast(centroids)
+    def nearestCells(v: Array[Float], n: Int): Array[Int] = {
+      val cs = cB.value
+      cs.indices.map(i => (i, dotNorm(cs(i), v))).sortBy(-_._2)
+        .take(n).map(_._1).toArray
+    }
+    val assignUdf = udf((v: Array[Float]) => nearestCells(v, 1)(0))
+    val probeUdf = udf((v: Array[Float]) => nearestCells(v, nProbe))
+    val cells = corpus.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).as("cvec")).withColumn("cell", assignUdf(col("cvec")))
+    val qs = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qvec")).withColumn("cell", explode(probeUdf(col("qvec"))))
+    val cos = udf((a: Array[Float], b: Array[Float]) => dotNorm(a, b))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    qs.join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("cosine", cos(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("cid").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic spherical k-means codebook from a bounded sample:
+    * init = first nCells rows by hashed-id order (seeded), then `iters`
+    * Lloyd rounds maximizing cosine; empty cells keep their centroid. */
+  def ivfTrain(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int = 8, sampleCap: Int = 8192,
+      seed: Long = 17L): Array[Array[Float]] = {
+    import spark.implicits._
+    // deterministic bounded sample: order by a seeded hash of the id —
+    // stable across partitionings, no RNG state (resume-safe)
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("h", abs(xxhash64(col("id"), lit(seed))))
+      .orderBy("h").limit(sampleCap)
+      .select("vec").as[Array[Float]].collect()
+    require(sample.length >= nCells,
+      s"need >= $nCells sample vectors, got ${sample.length}")
+    def norm(v: Array[Float]): Array[Float] = {
+      var s2 = 0.0; var i = 0
+      while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s2)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    var cents = Array.tabulate(nCells)(i => norm(sample(i)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCells)(new Array[Double](sample(0).length))
+      val cnt = new Array[Int](nCells)
+      sample.foreach { v =>
+        var best = 0; var bs = Double.MinValue
+        var c = 0
+        while (c < nCells) {
+          val s2 = dotNorm(cents(c), v)
+          if (s2 > bs) { bs = s2; best = c }
+          c += 1
+        }
+        val acc = sums(best)
+        val nv = norm(v)
+        var d = 0
+        while (d < nv.length) { acc(d) += nv(d); d += 1 }
+        cnt(best) += 1
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (cnt(c) == 0) cents(c)
+        else norm(sums(c).map(_.toFloat))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /**
    * LSH-bucketed ANN, the 100 TB scale path: `tables` independent
    * hyperplane tables of `nBits` bits; the corpus side carries one key per
    * table, the query side additionally multi-probes all Hamming-1

@@ -106,6 +106,37 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("ann: IVF top-k recall vs brute force") {
+    val vecs = (0 until 600).map { i =>
+      val v = Array.tabulate(16)(d =>
+        ((Hashing.hashLong(i * 16L + d, 5L) & 0xFFFF) / 65536.0f - 0.5f))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(spark, vecs, queries, "vec_id",
+        "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(spark, vecs, queries, "vec_id", "embedding", 5,
+        nCells = 32, nProbe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // determinism: same seeds -> identical codebook -> identical answers
+    val ivf2 = Ann.ivfTopK(spark, vecs, queries, "vec_id", "embedding", 5,
+        nCells = 32, nProbe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf2 == ivf)
+    // full probe (nProbe == nCells) degenerates to exact brute force
+    val full = Ann.ivfTopK(spark, vecs, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
   test("ann: block-pair cosine dups == naive all-pairs, no corpus collect") {
     val vecs = (0 until 120).map { i =>
       val v = Array.tabulate(8)(d =>
