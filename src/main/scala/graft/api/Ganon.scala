@@ -112,14 +112,18 @@ object Ganon {
     (res, Classify.reportBySample(res), Classify.staBySample(res))
   }
 
+  /** Persist a db. For the in-memory layouts this writes a new store; for
+    * a store-backed [[graft.build.LazyTwoLevelDb]] handle it EXPORTS the
+    * handle's pinned snapshot into `dir` as a fresh self-contained store
+    * (distributed blob copy — a consistent backup of exactly the bits the
+    * handle serves, immune to concurrent updates of the source store).
+    * Saving a lazy handle back onto its own store directory is an error:
+    * that snapshot already lives there. */
   def save(spark: SparkSession, db: ProbeDb, dir: String): Unit = db match {
     case flat: SketchDb => SketchStore.save(spark, flat, dir)
     case two: TwoLevelSketchDb => SketchStore.saveTwoLevel(spark, two, dir)
-    case _: graft.build.LazyTwoLevelDb =>
-      throw new IllegalArgumentException(
-        "this db is already store-backed (buildToStore/updateStored return " +
-          "a lazy handle over its store directory); there is nothing to " +
-          "save — load it elsewhere with Ganon.load(dir)")
+    case lazyDb: graft.build.LazyTwoLevelDb =>
+      SketchStore.exportSnapshot(spark, lazyDb, dir)
     case other =>
       throw new IllegalArgumentException(
         s"cannot save a ${other.getClass.getSimpleName}: only in-memory " +

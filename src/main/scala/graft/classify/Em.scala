@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
  * src/ganon/config.py:770-776).
  *
  * Scale shape: the multi-match relation is grouped ONCE into one row per
- * read carrying its candidate array (bounded by matches-per-read). Each EM
- * iteration is then a map-only argmax over those rows (probs broadcast as
- * a plain map — no join, no window sort) followed by a partially-aggregated
- * per-target count whose shuffle is |targets| rows per partition. Nothing
- * rescans or reshuffles the full match relation inside the loop.
+ * read carrying its candidate array (bounded by matches-per-read), with
+ * targets INTERNED to dense int ids in the same pass. Each EM iteration is
+ * then a map-only argmax over those rows (probs broadcast as a flat
+ * Array[Double] indexed by target id — 8 B/target instead of a boxed
+ * string-keyed map, an array load instead of a hash probe per candidate)
+ * followed by a partially-aggregated per-target count whose shuffle is
+ * |targets| rows per partition. Nothing rescans or reshuffles the full
+ * match relation inside the loop; at 10^7 targets the per-iteration
+ * broadcast is ~80 MB, not the ~1 GB a string map would cost.
  * Tie-break: the reference keeps the FIRST listed match (reassign.py:
  * 227-241 — np.argmax returns the first max index). When the input
  * carries Classify.allMatches' `match_order` column (the read's bin
@@ -46,75 +50,99 @@ object Em {
       Seq("read_id"), "left")
     val uniques = withN.filter(col("n_m").isNotNull)
       .select("read_id", "target", "kmer_count")
-    // group each multi-match read's candidates ONCE; the loop never touches
-    // the ungrouped relation again
+    // intern targets to dense ints, SORTED so tid order == lexicographic
+    // order (the tie-break below compares tids where it used to compare
+    // target strings). |targets| rows collected once — loop-invariant.
+    val allTargets = matches.select("target").distinct()
+      .collect().map(_.getString(0)).sorted
+    val n = allTargets.length
+    val tIdxB = spark.sparkContext.broadcast(
+      allTargets.iterator.zipWithIndex.toMap)
+    val namesB = spark.sparkContext.broadcast(allTargets)
+
+    // group each multi-match read's candidates ONCE, interning the target
+    // in the same pass; the loop never touches strings again
+    val intern = udf((t: String) => tIdxB.value(t))
     val multiReads = withN.filter(col("n_m").isNull)
       .groupBy("read_id")
-      .agg(collect_list(struct(col("target"), col("kmer_count"), col("ord")))
-        .as("ms"))
+      .agg(collect_list(struct(intern(col("target")).as("tid"),
+        col("kmer_count"), col("ord"))).as("ms"))
       .persist()
 
     // init probs from unique counts (+1 smoothing so zero-unique targets
     // can still attract reads, as reassign.py's eps does)
     // unique-match counts are loop-invariant: collect once (|targets| rows)
-    val uniqueCounts = uniques.groupBy("target").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val allTargets = matches.select("target").distinct()
-      .collect().map(_.getString(0))
-    def normalized(totals: Seq[(String, Double)]): Map[String, Double] = {
-      val z = totals.map(_._2).sum
-      totals.map { case (t, c) => t -> c / z }.toMap
+    val uniqueCounts = new Array[Long](n)
+    uniques.groupBy("target").agg(count(lit(1)).as("c"))
+      .collect().foreach(r =>
+        uniqueCounts(tIdxB.value(r.getString(0))) = r.getLong(1))
+    def normalized(totals: Array[Double]): Array[Double] = {
+      val z = totals.sum
+      totals.map(_ / z)
     }
-    var probs = normalized(allTargets
-      .map(t => t -> (uniqueCounts.getOrElse(t, 0L) + 1.0)).toSeq)
+    var probs = normalized(uniqueCounts.map(_ + 1.0))
 
-    // argmax over the read's candidate array given the broadcast prob map;
-    // ties by first-listed order, then target asc (see scaladoc)
-    def assign(pB: org.apache.spark.broadcast.Broadcast[Map[String, Double]])
+    // argmax over the read's candidate array given the broadcast prob
+    // array; ties by first-listed order, then tid asc (== target asc by
+    // the sorted interning above)
+    def assign(pB: org.apache.spark.broadcast.Broadcast[Array[Double]])
         : DataFrame = {
       val pick = udf((ms: Seq[Row]) => {
         val p = pB.value
-        var bt: String = null; var bc = 0L; var bs = -1.0
+        var bt = -1; var bc = 0L; var bs = -1.0
         var bo = Long.MaxValue
         ms.foreach { r =>
-          val t = r.getString(0); val c = r.getLong(1); val o = r.getLong(2)
-          val s = c * p.getOrElse(t, 0.0)
+          val t = r.getInt(0); val c = r.getLong(1); val o = r.getLong(2)
+          val s = c * p(t)
           val better = s > bs || (s == bs &&
-            (o < bo || (o == bo && (bt == null || t < bt))))
+            (o < bo || (o == bo && (bt < 0 || t < bt))))
           if (better) { bs = s; bt = t; bc = c; bo = o }
         }
         (bt, bc)
       })
       multiReads
         .select(col("read_id"), pick(col("ms")).as("pick"))
-        .select(col("read_id"), col("pick._1").as("target"),
+        .select(col("read_id"), col("pick._1").as("tid"),
           col("pick._2").as("kmer_count"))
     }
 
     var assigned: DataFrame = null
     // the returned (lazy) DataFrame still references the LAST broadcast, so
     // only superseded iterations' broadcasts are destroyed
-    var liveB: org.apache.spark.broadcast.Broadcast[Map[String, Double]] = null
+    var liveB: org.apache.spark.broadcast.Broadcast[Array[Double]] = null
     var iter = 0
     var diff = Double.MaxValue
     while (iter < maxIter && diff > threshold) {
       val pB = spark.sparkContext.broadcast(probs)
       assigned = assign(pB)
-      val counts = assigned.groupBy("target").agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val counts = new Array[Long](n)
+      assigned.groupBy("tid").agg(count(lit(1)).as("c"))
+        .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
       if (liveB != null) liveB.destroy()
       liveB = pB
-      val newProbs = normalized(allTargets.map(t =>
-        t -> (counts.getOrElse(t, 0L) + uniqueCounts.getOrElse(t, 0L) + 1.0)).toSeq)
+      val newProbs = normalized(Array.tabulate(n)(t =>
+        counts(t) + uniqueCounts(t) + 1.0))
       // L1 distance between consecutive normalized prob vectors — one pass
-      diff = allTargets.iterator.map(t => math.abs(newProbs(t) - probs(t))).sum
+      diff = {
+        var s = 0.0; var t = 0
+        while (t < n) { s += math.abs(newProbs(t) - probs(t)); t += 1 }
+        s
+      }
       probs = newProbs
       iter += 1
     }
+    // restore string targets on the way out (one map-side lookup per
+    // ASSIGNED read, not per candidate)
+    val unintern = udf((t: Int) => namesB.value(t))
+    if (assigned != null) assigned = assigned
+      .select(col("read_id"), unintern(col("tid")).as("target"),
+        col("kmer_count"))
     // sever the final iteration's broadcast dependency before destroying
     // it (otherwise one prob-map broadcast leaks per reassign() call on a
     // long-lived session): eager localCheckpoint materializes the
-    // assignment, so no recompute can ever dereference the destroyed value
+    // assignment, so no recompute can ever dereference the destroyed
+    // value. The intern/name broadcasts are severed by the same
+    // checkpoint; `uniques` never referenced them.
     if (assigned != null) assigned = assigned.localCheckpoint(true)
     if (liveB != null) { liveB.destroy(); liveB = null }
     val result = uniques.unionByName(
@@ -122,6 +150,7 @@ object Em {
         uniques.limit(0)
       else assigned)
     multiReads.unpersist(); matches.unpersist()
+    tIdxB.destroy(); namesB.destroy()
     result
   }
 

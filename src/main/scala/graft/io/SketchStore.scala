@@ -203,22 +203,79 @@ object SketchStore {
     val tmp = new Path(s"$shardDir/.grp_$g.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    commitBlobRename(conf, fs, tmp, dest, bytes.length.toLong)
+  }
+
+  /** The shared tmp→dest commit: OVERWRITE-rename, suppressing a failure
+    * ONLY when dest is positively confirmed as the bytes we meant to
+    * write (same length; content is deterministic per path — duplicate
+    * attempts write identical bytes). Any other dest is stale/foreign:
+    * the rename failure surfaces rather than silently serving old bits
+    * under a new manifest. */
+  private def commitBlobRename(conf: Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path,
+      expectedLen: Long): Unit = {
     try {
       org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
         .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case e: Throwable =>
         fs.delete(tmp, false)
-        // Suppress ONLY a positively-confirmed duplicate-attempt commit:
-        // dest must exist with exactly the bytes we meant to write (same
-        // length; content is deterministic per path — see above). A dest
-        // of any other size is a stale/foreign blob: surfacing the rename
-        // failure beats silently serving old bits under a new manifest.
         val committed = fs.exists(dest) &&
-          fs.getFileStatus(dest).getLen == bytes.length
+          fs.getFileStatus(dest).getLen == expectedLen
         if (!committed)
           throw new java.io.IOException(s"failed to commit shard blob $dest", e)
     }
+  }
+
+  /**
+   * Copy the handle's PINNED snapshot into `destDir` as a fresh,
+   * self-contained store: every referenced blob is re-homed under ONE new
+   * generation there (per-group generation pointers collapse to it), then
+   * the manifest commits last — the usual CURRENT-flip discipline, so a
+   * crashed export leaves destDir unchanged-or-previous, never torn.
+   *
+   * Blob copies run one task per group on executors as bounded-buffer
+   * stream copies (no whole-blob byte[], so >2 GB groups are fine): a
+   * 300+ GB store exports at cluster width while the driver moves only
+   * the manifest. The source is never mutated, and because the copy reads
+   * the handle's per-group generation POINTERS (not the source's CURRENT),
+   * a concurrent update to the source store cannot tear the exported
+   * snapshot — this is "back up the exact bits this handle serves".
+   */
+  def exportSnapshot(spark: SparkSession, db: LazyTwoLevelDb,
+      destDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcDir = db.storeDir
+    require(new Path(destDir).toUri.getPath != new Path(srcDir).toUri.getPath,
+      s"export destination $destDir is the source store itself — the " +
+        "snapshot already lives there; pick a different directory")
+    val gen = currentGeneration(conf, destDir).getOrElse(0) + 1
+    claimGeneration(conf, destDir, gen)
+    val sd = shardDirOf(destDir, gen)
+    val srcGens = db.shardGens
+    val nG = db.layout.numGroups
+    val hc = new graft.build.SerializableHadoopConf(conf)
+    spark.sparkContext.parallelize(0 until nG,
+        math.min(nG, spark.sparkContext.defaultParallelism)).foreach { g =>
+      val c = hc.value
+      val src = new Path(s"$srcDir/shards_v${srcGens(g)}/grp_$g.bin")
+      val srcFs = src.getFileSystem(c)
+      if (srcFs.exists(src)) { // groups that routed zero hashes have no blob
+        val dest = new Path(s"$sd/grp_$g.bin")
+        val destFs = dest.getFileSystem(c)
+        val tmp =
+          new Path(s"$sd/.grp_$g.${java.util.UUID.randomUUID()}.tmp")
+        val in = srcFs.open(src)
+        val out = destFs.create(tmp, true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
+        finally { in.close(); out.close() }
+        commitBlobRename(c, destFs, tmp, dest,
+          srcFs.getFileStatus(src).getLen)
+      }
+    }
+    writeManifest(spark, db, "two", db.coarse.toBytes, destDir, gen,
+      Array.fill(nG)(gen))
   }
 
   /** Read group g's blob through its generation pointer; None if the group

@@ -128,11 +128,25 @@ class GanonApiSpec extends AnyFunSuite {
     val reloaded = Ganon.load(spark, dir)
     assert(reloaded.targets.length == 9)
 
-    // a store-backed handle has nothing to save — clear error, no MatchError
+    // saving a store-backed handle EXPORTS its pinned snapshot: the copy
+    // is a fresh self-contained store that classifies identically
+    val expDir = "/tmp/graft_api_export"
+    deleteRec(new java.io.File(expDir))
+    Ganon.save(spark, compacted, expDir)
+    val exported = Ganon.load(spark, expDir)
+    assert(exported.targets.sorted.sameElements(compacted.targets.sorted))
+    val probe = corpus.limit(30).select($"path".as("id"), $"content")
+    def hits(db: graft.build.ProbeDb) =
+      Ganon.classify(spark, probe, "id", "content", db,
+        ClassifyParams(relCutoff = 0.25)).one
+        .select("read_id", "target").collect().map(r => (r.getString(0),
+          r.getString(1))).toSet
+    assert(hits(exported) == hits(compacted))
+    // exporting onto the source store itself is refused
     val err = intercept[IllegalArgumentException] {
-      Ganon.save(spark, compacted, "/tmp/graft_api_nosave")
+      Ganon.save(spark, compacted, dir)
     }
-    assert(err.getMessage.contains("store-backed"))
+    assert(err.getMessage.contains("source store itself"))
   }
 
   test("facade: PAIRED batch manifest hashes the mates' union") {
