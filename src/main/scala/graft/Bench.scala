@@ -152,8 +152,11 @@ object Bench {
       val r2 = corpusJob(spark, cF)
       val t = math.min(r1, r2)
       cF.unpersist()
+      // capped branch: report the 4N level's OWN mean alongside its min —
+      // pairing nLarge with a mean measured at full width would attribute
+      // the mean to a parallelism it was not run at
       if (t <= tLarge) (t, cpus, (r1 + r2) / 2)
-      else (tLarge, nLarge, (r1 + r2) / 2)
+      else (tLarge, nLarge, tLargeMean)
     }
 
     // ---- headline queries on the driver-provided SF dir ----

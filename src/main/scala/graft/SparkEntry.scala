@@ -31,6 +31,11 @@ object SparkEntry {
   private def cents(c: Column): Column =
     round(c * 100).cast("long")
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
   /** Flagship: ganon-style classification of documents against lang bins
     * at sf0.001 — which lang bins does each doc's shingle set hit. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1073,10 +1078,6 @@ object SparkEntry {
       val rmSrc = sources.last
       val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
       val dir2 = s"/tmp/graft_q55_${math.abs(dir.hashCode)}"
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
       deleteRec(new java.io.File(dir2))
       SketchBuild.buildToStore(s, docs, "source", "text", dir2, p)
       val pinned = graft.io.SketchStore.loadTwoLevelLazy(s, dir2)
@@ -1120,10 +1121,6 @@ object SparkEntry {
       val rm2 = sources.head
       val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
       val dir2 = s"/tmp/graft_q56_${math.abs(dir.hashCode)}"
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
       deleteRec(new java.io.File(dir2))
       SketchBuild.buildToStore(s, docs, "source", "text", dir2, p)
       SketchBuild.updateStored(s, dir2, null, "source", "text",
@@ -1276,9 +1273,11 @@ object SparkEntry {
       // stage a MULTI-FILE copy so maxFilesPerTrigger=1 yields several
       // micro-batches — the equality claim is only meaningful when the
       // stream actually crosses batch boundaries
+      // restaged EVERY run: keying reuse on a _SUCCESS marker would serve
+      // a stale copy if the fixtures under `dir` were regenerated between
+      // runs (dir.hashCode, and so srcDir, would not change)
       val srcDir = s"/tmp/graft_stream_casc_${math.abs(dir.hashCode)}"
-      if (!new java.io.File(s"$srcDir/_SUCCESS").exists())
-        docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+      docs.repartition(4).write.mode("overwrite").parquet(srcDir)
       val p = IbfParams(k = 8, w = 8, maxFp = 0.001)
       val build1 = docs.filter(col("doc_id") % 2 === 0)
       val lvl1 = SketchBuild.build(s, build1, "source", "text", p)
@@ -1291,10 +1290,6 @@ object SparkEntry {
           ClassifyParams(relCutoff = 0.25, relFilter = 1.0, fprQuery = 1.0),
           Option.empty[graft.core.Lca]))
       val outDir = s"/tmp/graft_q59_out_${math.abs(dir.hashCode)}"
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
       deleteRec(new java.io.File(outDir))
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1") // 4 staged files -> 4 batches

@@ -307,11 +307,21 @@ final class LazyTwoLevelDb(
     var s = shardCache.get(g)
     if (s == null) {
       s = readShard(g)
-      if (shardCache.compareAndSet(g, null, s) &&
-          resident.addAndGet(s.sizeBytes) > maxCacheBytes)
-        evictLru(keep = g)
-      // CAS lost: another thread cached it first (or eviction raced) — the
-      // locally read shard is correct either way
+      // stamp recency BEFORE publishing so an eviction scan never picks
+      // the in-flight shard as the zero-stamped "oldest" entry, and
+      // account the bytes BEFORE the CAS so a racing evictor's
+      // subtraction can never precede this addition (that ordering would
+      // leave `resident` permanently overcounting an evicted shard and
+      // degrade the cache toward per-probe refetches)
+      lastAccess.lazySet(g, accessClock.incrementAndGet())
+      resident.addAndGet(s.sizeBytes)
+      if (shardCache.compareAndSet(g, null, s)) {
+        if (resident.get() > maxCacheBytes) evictLru(keep = g)
+      } else {
+        // CAS lost: another thread cached it first — back out our
+        // accounting; the locally read shard is correct either way
+        resident.addAndGet(-s.sizeBytes)
+      }
     }
     lastAccess.lazySet(g, accessClock.incrementAndGet())
     s
@@ -643,6 +653,7 @@ object SketchBuild {
     val gen = graft.io.SketchStore
       .currentGeneration(conf.value, dir).getOrElse(0) + 1
     graft.io.SketchStore.claimGeneration(conf.value, dir, gen)
+    graft.io.SketchStore.releaseClaimOnFailure(conf.value, dir, gen) {
     val shardDir = graft.io.SketchStore.shardDirOf(dir, gen)
     // clear leftovers of THIS (uncommitted, exclusively claimed) generation
     // only — a crashed earlier attempt's partial blobs; committed
@@ -687,6 +698,7 @@ object SketchBuild {
     graft.io.SketchStore.writeManifest(spark, db, "two", coarse.toBytes, dir,
       gen, shardGens)
     db
+    } // releaseClaimOnFailure
   }
 
   /** The routed shard aggregation over the (target, hs) projection for the
@@ -949,6 +961,7 @@ object SketchBuild {
     val oldNumGroups = db0.layout.numGroups
     val gen = gen0 + 1
     graft.io.SketchStore.claimGeneration(hconf, dir, gen)
+    graft.io.SketchStore.releaseClaimOnFailure(hconf, dir, gen) {
     val newShardDir = graft.io.SketchStore.shardDirOf(dir, gen)
     // clear a crashed earlier attempt's partial blobs of THIS uncommitted
     // generation (exclusively claimed above)
@@ -1069,6 +1082,7 @@ object SketchBuild {
     graft.io.SketchStore.writeManifest(spark, db, "two", coarseNew.toBytes,
       dir, gen, gens1)
     db
+    } // releaseClaimOnFailure
   }
 
   /** Degradation report of a stored two-level db after update cycles:

@@ -122,6 +122,24 @@ object SketchStore {
     lock.getFileSystem(conf).delete(lock, false)
   }
 
+  /** Run a claimed writer's body; on failure release OUR OWN claim before
+    * rethrowing. Without this, any exception between claim and commit (a
+    * lost executor, a blob IO error) leaves LOCK_gen_N behind and turns a
+    * transient job failure into persistent write-unavailability until an
+    * operator calls [[releaseStaleLocks]]. Releasing here is safe: the
+    * lock protects an UNCOMMITTED generation this process exclusively
+    * claimed, and its partial output is cleared by the next claimant. On
+    * success the lock is released by [[writeManifest]]'s commit. */
+  private[graft] def releaseClaimOnFailure[T](conf: Configuration,
+      dir: String, gen: Int)(body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        try releaseLock(conf, dir, gen)
+        catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
+    }
+
   /** Drop lock files of UNCOMMITTED generations (gen > CURRENT) — the
     * residue of crashed writers. Only call when no writer is running. */
   def releaseStaleLocks(spark: SparkSession, dir: String): Int = {
@@ -172,20 +190,24 @@ object SketchStore {
     val conf = spark.sparkContext.hadoopConfiguration
     val gen = currentGeneration(conf, dir).getOrElse(0) + 1
     claimGeneration(conf, dir, gen)
-    writeManifest(spark, db, "flat", db.ibf.toBytes, dir, gen,
-      Array.empty[Int])
+    releaseClaimOnFailure(conf, dir, gen) {
+      writeManifest(spark, db, "flat", db.ibf.toBytes, dir, gen,
+        Array.empty[Int])
+    }
   }
 
   def saveTwoLevel(spark: SparkSession, db: TwoLevelSketchDb, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val gen = currentGeneration(conf, dir).getOrElse(0) + 1
     claimGeneration(conf, dir, gen)
-    val sd = shardDirOf(dir, gen)
-    db.shards.zipWithIndex.foreach { case (shard, g) =>
-      writeShardBlob(conf, sd, g, shard.toBytes)
+    releaseClaimOnFailure(conf, dir, gen) {
+      val sd = shardDirOf(dir, gen)
+      db.shards.zipWithIndex.foreach { case (shard, g) =>
+        writeShardBlob(conf, sd, g, shard.toBytes)
+      }
+      writeManifest(spark, db, "two", db.coarse.toBytes, dir, gen,
+        Array.fill(db.layout.numGroups)(gen))
     }
-    writeManifest(spark, db, "two", db.coarse.toBytes, dir, gen,
-      Array.fill(db.layout.numGroups)(gen))
   }
 
   // ---- blobs ---------------------------------------------------------------
@@ -247,35 +269,47 @@ object SketchStore {
       destDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcDir = db.storeDir
-    require(new Path(destDir).toUri.getPath != new Path(srcDir).toUri.getPath,
-      s"export destination $destDir is the source store itself — the " +
+    // fully-qualified comparison (scheme + authority + resolved path): a
+    // relative spelling of the source dir must not slip past the guard,
+    // and the same path on two DIFFERENT filesystems is a legitimate
+    // cross-filesystem backup, not a self-export
+    val destQ = {
+      val p = new Path(destDir); p.getFileSystem(conf).makeQualified(p)
+    }
+    val srcQ = {
+      val p = new Path(srcDir); p.getFileSystem(conf).makeQualified(p)
+    }
+    require(destQ != srcQ,
+      s"export destination $destQ is the source store itself — the " +
         "snapshot already lives there; pick a different directory")
     val gen = currentGeneration(conf, destDir).getOrElse(0) + 1
     claimGeneration(conf, destDir, gen)
-    val sd = shardDirOf(destDir, gen)
-    val srcGens = db.shardGens
-    val nG = db.layout.numGroups
-    val hc = new graft.build.SerializableHadoopConf(conf)
-    spark.sparkContext.parallelize(0 until nG,
-        math.min(nG, spark.sparkContext.defaultParallelism)).foreach { g =>
-      val c = hc.value
-      val src = new Path(s"$srcDir/shards_v${srcGens(g)}/grp_$g.bin")
-      val srcFs = src.getFileSystem(c)
-      if (srcFs.exists(src)) { // groups that routed zero hashes have no blob
-        val dest = new Path(s"$sd/grp_$g.bin")
-        val destFs = dest.getFileSystem(c)
-        val tmp =
-          new Path(s"$sd/.grp_$g.${java.util.UUID.randomUUID()}.tmp")
-        val in = srcFs.open(src)
-        val out = destFs.create(tmp, true)
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
-        finally { in.close(); out.close() }
-        commitBlobRename(c, destFs, tmp, dest,
-          srcFs.getFileStatus(src).getLen)
+    releaseClaimOnFailure(conf, destDir, gen) {
+      val sd = shardDirOf(destDir, gen)
+      val srcGens = db.shardGens
+      val nG = db.layout.numGroups
+      val hc = new graft.build.SerializableHadoopConf(conf)
+      spark.sparkContext.parallelize(0 until nG,
+          math.min(nG, spark.sparkContext.defaultParallelism)).foreach { g =>
+        val c = hc.value
+        val src = new Path(s"$srcDir/shards_v${srcGens(g)}/grp_$g.bin")
+        val srcFs = src.getFileSystem(c)
+        if (srcFs.exists(src)) { // groups that routed zero hashes have no blob
+          val dest = new Path(s"$sd/grp_$g.bin")
+          val destFs = dest.getFileSystem(c)
+          val tmp =
+            new Path(s"$sd/.grp_$g.${java.util.UUID.randomUUID()}.tmp")
+          val in = srcFs.open(src)
+          val out = destFs.create(tmp, true)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
+          finally { in.close(); out.close() }
+          commitBlobRename(c, destFs, tmp, dest,
+            srcFs.getFileStatus(src).getLen)
+        }
       }
+      writeManifest(spark, db, "two", db.coarse.toBytes, destDir, gen,
+        Array.fill(nG)(gen))
     }
-    writeManifest(spark, db, "two", db.coarse.toBytes, destDir, gen,
-      Array.fill(nG)(gen))
   }
 
   /** Read group g's blob through its generation pointer; None if the group

@@ -207,7 +207,20 @@ object Ann {
       cs.indices.map(i => (i, dotNorm(cs(i), v))).sortBy(-_._2)
         .take(n).map(_._1).toArray
     }
-    val assignUdf = udf((v: Array[Float]) => nearestCells(v, 1)(0))
+    // corpus-side assignment is THE per-row hot path (the query side is
+    // small and keeps the sorted top-n): a linear argmax, no boxed tuple
+    // list + sort per row
+    val assignUdf = udf((v: Array[Float]) => {
+      val cs = cB.value
+      var best = 0; var bs = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        val s = dotNorm(cs(c), v)
+        if (s > bs) { bs = s; best = c }
+        c += 1
+      }
+      best
+    })
     val probeUdf = udf((v: Array[Float]) => nearestCells(v, nProbe))
     val cells = corpus.select(col(idCol).cast("long").as("cid"),
       col(vecCol).as("cvec")).withColumn("cell", assignUdf(col("cvec")))

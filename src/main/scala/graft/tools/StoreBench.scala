@@ -72,8 +72,13 @@ object StoreBench {
     // by construction; the bound exists for SHIFTING working sets (see
     // LazyTwoLevelDb scaladoc), with bounded-ness + answer-neutrality
     // proven in BuildToStoreSpec at tolerable scale.
-    val totalShardBytes = new java.io.File(s"$dir/shards_v1").listFiles()
-      .filter(_.getName.endsWith(".bin")).map(_.length()).sum
+    // size the bound from the CURRENT generation's per-group blob pointers
+    // (the /tmp store persists across runs, so gen 1's blobs may be stale)
+    val handle = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    val totalShardBytes = (0 until handle.layout.numGroups).map { g =>
+      new java.io.File(
+        s"$dir/shards_v${handle.shardGens(g)}/grp_$g.bin").length()
+    }.sum
     spark.conf.set("spark.graft.shard.cache.bytes",
       (totalShardBytes + (64 << 20)).toString)
     val lru = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)

@@ -125,6 +125,35 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("failed in-process writer releases its own lock: a retry commits " +
+      "without releaseStaleLocks") {
+    val docs = graft.synth.Corpus.df(spark, 120, numRepos = 6, partitions = 2)
+      .cache()
+    val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
+    val dir = freshDir("selfrelease")
+    SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
+    // an update whose Spark job deterministically fails AFTER the
+    // generation claim (the failing udf evaluates inside the wrapped
+    // shard pass)
+    val boom = udf((s: String) => {
+      throw new RuntimeException("boom"); s
+    })
+    val badDelta = docs.limit(10).withColumn("content", boom(col("content")))
+    intercept[Throwable] {
+      SketchBuild.updateStored(spark, dir, badDelta, "repo", "content")
+    }
+    assert(!new java.io.File(s"$dir/LOCK_gen_2").exists(),
+      "a failed in-process writer must not leave its generation lock behind")
+    // the retry claims the same generation directly — no manual
+    // releaseStaleLocks step
+    val rm = docs.select("repo").distinct().orderBy("repo")
+      .first().getString(0)
+    val upd = SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(rm))
+    assert(upd.generation == 2)
+    docs.unpersist()
+  }
+
   test("lost-update race: a stale writer cannot reclaim a committed " +
       "generation") {
     val docs = graft.synth.Corpus.df(spark, 120, numRepos = 6, partitions = 2)
