@@ -1336,6 +1336,142 @@ object SparkEntry {
       exactPairs.join(pairs, Seq("doc_a", "doc_b"), "left")
         .select(col("doc_a"), col("doc_b"),
           col("hamming").isNotNull.as("found"))
+    }),
+
+    "q61_tax_formats" -> ((s, dir) => {
+      // .tax TSV scan + FIRST-WINS tax merge + annotation join
+      // (GanonClassify.cpp:988-1005, 1324-1341): the lineage is written
+      // out as two .tax files — B re-lists every node with a WRONG parent,
+      // so only first-wins merge order reproduces the truth — read back
+      // through Formats.readTax, merged, and joined onto per-node counts
+      val docs = t(s, dir, "documents")
+      val leaves = docs.select(col("lang"),
+          concat(col("lang"), lit("/"), col("source")).as("node"))
+        .distinct().collect().map(r => (r.getString(1), r.getString(0)))
+        .sortBy(_._1)
+      val taxDir = s"/tmp/graft_q61_${math.abs(dir.hashCode)}"
+      deleteRec(new java.io.File(taxDir))
+      new java.io.File(taxDir).mkdirs()
+      def writeTsv(name: String, lines: Seq[String]): String = {
+        val f = s"$taxDir/$name"
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+        f
+      }
+      val fileA = writeTsv("a.tax",
+        leaves.map { case (n, p) => s"$n\t$p\tsequence\tN_$n" } ++
+          leaves.map(_._2).distinct.sorted.map(l => s"$l\troot\tlang\tN_$l"))
+      val fileB = writeTsv("b.tax",
+        leaves.map { case (n, _) => s"$n\tWRONG\tbad\tx" })
+      val merged = graft.io.Formats.taxToParents(
+        graft.io.Formats.readTax(s, fileA)
+          .unionByName(graft.io.Formats.readTax(s, fileB)))
+      import s.implicits._
+      val parentsDf = merged.toSeq.toDF("node", "parent")
+      docs.groupBy(concat(col("lang"), lit("/"), col("source")).as("node"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(parentsDf, Seq("node"))
+        .select(col("node"), col("parent"), col("cnt"))
+    }),
+
+    "q62_unc" -> ((s, dir) => {
+      // .unc sink (GanonClassify.cpp:1239-1249): db holds only the
+      // odd-ranked langs; at FULL containment (the synthetic corpus
+      // shares most 8-grams across langs, so any softer cutoff classifies
+      // everything) the even-ranked langs' docs land in the unclassified
+      // relation except the few whose gram set is wholly contained in a
+      // kept lang's union — the oracle computes that set exactly.
+      // Skip-rule docs are EXCLUDED from .unc (never entered classification)
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) >= 8)
+      val langs = docs.select("lang").distinct().orderBy("lang")
+        .collect().map(_.getString(0))
+      val kept = langs.zipWithIndex.collect {
+        case (l, i) if i % 2 == 0 => l
+      }.toSet
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-6)
+      val db = SketchBuild.build(s, docs.filter(col("lang").isin(
+        kept.toSeq: _*)), "lang", "text", p)
+      val res = Classify.classify(s, docs, "doc_id", "text", db,
+        ClassifyParams(relCutoff = 1.0, relFilter = 1.0, fprQuery = 1.0))
+      Classify.unclassified(res)
+        .select(col("read_id").cast("long").as("doc_id"))
+    }),
+
+    "q63_lca_missing_root" -> ((s, dir) => {
+      // missing-target -> root patch (GanonClassify.cpp:1343-1362): q33's
+      // cascade taxonomy with the lexicographically FIRST lang's subtree
+      // omitted from the .tax side — its targets are unknown to the LCA,
+      // so any read whose survivors touch them resolves to root
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) >= 8)
+      val binned = docs.withColumn("target",
+        concat(col("lang"), lit("/"), col("source")))
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-6)
+      val db = SketchBuild.build(s, binned, "target", "text", p)
+      val missingLang = docs.select("lang").distinct().orderBy("lang")
+        .first().getString(0)
+      val parents = binned.select("lang", "target").distinct().collect()
+        .filter(_.getString(0) != missingLang)
+        .flatMap(r => Seq(r.getString(1) -> r.getString(0),
+          r.getString(0) -> "root")).toMap
+      val lca = graft.core.Lca.build(parents, "root")
+      val res = Classify.classify(s, binned, "doc_id", "text", db,
+        ClassifyParams(relCutoff = 0.8, relFilter = 1.0, fprQuery = 1.0),
+        lcaOpt = Some(lca))
+      res.toDF().filter(col("assignment").isNotNull)
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("assignment"))
+    }),
+
+    "q64_input_file" -> ((s, dir) => {
+      // --input-file manifest scan (build_update.py:586-608): odd-ranked
+      // sources OMIT the target column, which must default to the file
+      // basename (reference behavior, encoded in Formats.readInputFile)
+      val docs = t(s, dir, "documents")
+      val sources = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0))
+      val manDir = s"/tmp/graft_q64_${math.abs(dir.hashCode)}"
+      deleteRec(new java.io.File(manDir))
+      new java.io.File(manDir).mkdirs()
+      val w = new java.io.PrintWriter(s"$manDir/input.tsv", "UTF-8")
+      try sources.zipWithIndex.foreach { case (src, i) =>
+        if ((i + 1) % 2 == 0) w.println(s"files/$src.fa\tT_$src")
+        else w.println(s"files/$src.fa")
+      } finally w.close()
+      graft.io.Formats.readInputFile(s, s"$manDir/input.tsv")
+        .select(col("file"), col("target"))
+    }),
+
+    "q65_min_checkpoint" -> ((s, dir) => {
+      // .min-spill checkpoint reuse (SURVEY §2.1; ganon-build --input
+      // re-runs read the spilled minimizer files): a build that RESUMES
+      // from a params-fingerprinted checkpoint must be bit-identical to
+      // the build that wrote it, and classify exactly like a fresh
+      // uncheckpointed build
+      val docs = t(s, dir, "documents")
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+      val ckDir = s"/tmp/graft_q65_${math.abs(dir.hashCode)}"
+      deleteRec(new java.io.File(ckDir))
+      val db1 = SketchBuild.build(s, docs, "lang", "text", p,
+        checkpointDir = Some(ckDir))
+      val db2 = SketchBuild.build(s, docs, "lang", "text", p,
+        checkpointDir = Some(ckDir)) // second run reads the checkpoint
+      require(java.util.Arrays.equals(db1.ibf.toBytes, db2.ibf.toBytes),
+        "checkpoint-resumed build must be bit-identical to the writer")
+      val fresh = SketchBuild.build(s, docs, "lang", "text", p)
+      val cp = ClassifyParams(relCutoff = 0.25)
+      val a = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", db2, cp)).withColumn("u", lit(1))
+      val b = Classify.allMatches(Classify.classify(s, docs, "doc_id",
+        "text", fresh, cp)).withColumn("f", lit(1))
+      val mism = a.join(b, Seq("read_id", "target"), "full_outer")
+        .filter(col("u").isNull || col("f").isNull)
+        .groupBy("read_id").agg(count(lit(1)).as("bad"))
+      docs.select(col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("read_id").cast("long").as("doc_id"),
+          col("bad").isNull.as("ok"))
     })
   )
 
@@ -1911,6 +2047,87 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(nd AS BIGINT) AS n_hashes,
         |  (nd BETWEEN 1 AND 65535) AS hit_own
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q61_tax_formats" ->
+      """SELECT lang || '/' || source AS node, lang AS parent,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q62_unc" ->
+      """WITH langs AS (
+        |  SELECT lang, row_number() OVER (ORDER BY lang) AS rn
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)])) AS g
+        |  FROM documents
+        |  WHERE strlen(text) >= 8
+        |    AND len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)]))
+        |      BETWEEN 1 AND 65535),
+        |docn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        |binset AS (
+        |  SELECT gr.lang AS t2, gr.g FROM grams gr
+        |  JOIN langs l ON gr.lang = l.lang
+        |  WHERE l.rn % 2 = 1 GROUP BY ALL),
+        |surv AS (
+        |  SELECT DISTINCT h.doc_id FROM (
+        |    SELECT gr.doc_id, b.t2, COUNT(*) AS c
+        |    FROM grams gr JOIN binset b ON gr.g = b.g
+        |    GROUP BY 1, 2) h
+        |  JOIN docn d USING (doc_id)
+        |  WHERE h.c >= GREATEST(1, CEIL(d.n * 1.0)))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM docn
+        |WHERE doc_id NOT IN (SELECT doc_id FROM surv)""".stripMargin,
+
+    "q63_lca_missing_root" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, source, lang || '/' || source AS target,
+        |    unnest(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)])) AS g
+        |  FROM documents
+        |  WHERE strlen(text) >= 8
+        |    AND len(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)]))
+        |      BETWEEN 1 AND 65535),
+        |docn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        |binset AS (SELECT target AS t2, lang AS l2, g FROM grams GROUP BY ALL),
+        |hits AS (
+        |  SELECT gr.doc_id, b.t2, b.l2, COUNT(*) AS c
+        |  FROM grams gr JOIN binset b ON gr.g = b.g
+        |  GROUP BY 1, 2, 3),
+        |surv AS (
+        |  SELECT h.doc_id, h.t2, h.l2
+        |  FROM hits h JOIN docn d USING (doc_id)
+        |  WHERE h.c >= GREATEST(1, CEIL(d.n * 0.8)))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  -- a UNIQUE match never consults the LCA (no root patch);
+        |  -- among multi-matches any unknown (excluded-lang) node
+        |  -- patches to root, which then dominates the fold
+        |  CASE WHEN COUNT(*) = 1 THEN MIN(t2)
+        |       WHEN SUM(CASE WHEN l2 = (SELECT MIN(lang) FROM documents)
+        |              THEN 1 ELSE 0 END) > 0 THEN 'root'
+        |       WHEN COUNT(DISTINCT l2) = 1 THEN MIN(l2)
+        |       ELSE 'root' END AS assignment
+        |FROM surv GROUP BY doc_id""".stripMargin,
+
+    "q64_input_file" ->
+      """WITH r AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) AS rn
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT 'files/' || source || '.fa' AS file,
+        |  CASE WHEN rn % 2 = 0 THEN 'T_' || source
+        |       ELSE source || '.fa' END AS target
+        |FROM r""".stripMargin,
+
+    "q65_min_checkpoint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin
   )
 }
