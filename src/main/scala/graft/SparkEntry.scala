@@ -1443,6 +1443,66 @@ object SparkEntry {
         .select(col("file"), col("target"))
     }),
 
+    "q66_wav_decode" -> ((s, dir) => {
+      // REAL in-JVM audio decode (WAV = RIFF chunk walk + little-endian
+      // PCM; the encoder plants an odd-length junk chunk so the
+      // unknown-chunk skip and word-padding paths are always exercised):
+      // synthesize a deterministic 16-bit mono clip per doc, decode
+      // through the byte-budget multimodal pipeline, emit integer sample
+      // stats — values only a correct chunk-walk + PCM decode can
+      // produce — and let the oracle recompute them from doc_id
+      val docs = t(s, dir, "documents")
+      val mkWav = udf((id: Long) => {
+        val n = 48 + (id % 16).toInt
+        val smp = Array.tabulate(n)(i => ((id * 13 + i * 97) % 4001).toInt - 2000)
+        graft.ops.Wav.encode(graft.ops.Wav.Audio(
+          8000 + (id % 8).toInt, 1, 16, smp))
+      })
+      val media = docs.select(col("doc_id").cast("long").as("doc_id"),
+          mkWav(col("doc_id").cast("long")).as("payload"),
+          lit("audio/wav").as("media_type"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      Multimodal.extractAudioMeta(s, media).toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("peak"), col("sum_abs"))
+    }),
+
+    "q67_media_transform" -> ((s, dir) => {
+      // the transform verbs of the multimodal layer: nearest-neighbor
+      // RESIZE (16x8 -> 4x4) over decoded PNGs and stride-4 FRAME-SAMPLE
+      // over decoded WAVs — both exact-integer, so the oracle replays the
+      // index mapping arithmetically from doc_id
+      val docs = t(s, dir, "documents")
+      val mkPng = udf((id: Long) => {
+        val px = Array.tabulate(16 * 8)(i => ((i * 31 + id * 7) % 256).toByte)
+        graft.ops.Png.encode(16, 8, 1, px)
+      })
+      val mkWav = udf((id: Long) => {
+        val n = 48 + (id % 16).toInt
+        val smp = Array.tabulate(n)(i => ((id * 13 + i * 97) % 4001).toInt - 2000)
+        graft.ops.Wav.encode(graft.ops.Wav.Audio(
+          8000 + (id % 8).toInt, 1, 16, smp))
+      })
+      val imgs = docs.select(col("doc_id").cast("long").as("doc_id"),
+          mkPng(col("doc_id").cast("long")).as("payload"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      val clips = docs.select(col("doc_id").cast("long").as("doc_id"),
+          mkWav(col("doc_id").cast("long")).as("payload"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      val r = Multimodal.resizeImages(s, imgs, 4, 4).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("rwidth"),
+          col("height").cast("long").as("rheight"),
+          col("pixel_sum").as("resized_sum"))
+      val f = Multimodal.frameSampleAudio(s, clips, 4).toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("s_rate"),
+          col("n_frames").as("s_frames"), col("peak").as("s_peak"),
+          col("sum_abs").as("s_sum_abs"))
+      r.join(f, Seq("doc_id"))
+    }),
+
     "q65_min_checkpoint" -> ((s, dir) => {
       // .min-spill checkpoint reuse (SURVEY §2.1; ganon-build --input
       // re-runs read the spilled minimizer files): a build that RESUMES
@@ -2128,6 +2188,38 @@ object SparkEntry {
 
     "q65_min_checkpoint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q66_wav_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    [abs(((doc_id*13 + i*97) % 4001) - 2000)
+        |      for i in generate_series(0, 47 + doc_id % 16)] AS a
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(8000 + doc_id % 8 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(48 + doc_id % 16 AS BIGINT) AS n_frames,
+        |  CAST(list_max(a) AS BIGINT) AS peak,
+        |  CAST(list_sum(a) AS BIGINT) AS sum_abs
+        |FROM s""".stripMargin,
+
+    "q67_media_transform" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    [((((i // 4) * 32 + (i % 4) * 4) * 31 + doc_id * 7) % 256)
+        |      for i in generate_series(0, 15)] AS rp,
+        |    [abs(((doc_id*13 + f*4*97) % 4001) - 2000)
+        |      for f in generate_series(0, (48 + doc_id % 16 + 3) // 4 - 1)]
+        |      AS sa
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(4 AS BIGINT) AS rwidth, CAST(4 AS BIGINT) AS rheight,
+        |  CAST(list_sum(rp) AS BIGINT) AS resized_sum,
+        |  CAST((8000 + doc_id % 8) // 4 AS BIGINT) AS s_rate,
+        |  CAST(len(sa) AS BIGINT) AS s_frames,
+        |  CAST(list_max(sa) AS BIGINT) AS s_peak,
+        |  CAST(list_sum(sa) AS BIGINT) AS s_sum_abs
+        |FROM s""".stripMargin
   )
 }

@@ -103,4 +103,103 @@ object Multimodal {
         }
       }
   }
+
+  /** Decoded-audio row: format fields straight from `fmt `, `peak` and
+    * `sum_abs` over the decoded signed samples — integer stats only a
+    * correct chunk-walk + little-endian PCM decode can produce (and
+    * hash-stable for oracles, unlike a float RMS). */
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, peak: Long, sum_abs: Long)
+
+  /** REAL audio decode over WAV payloads (same byte-budget partitioning
+    * as [[extractFeatures]]): each partition walks the RIFF chunk list
+    * and decodes PCM in-JVM ([[Wav.decode]]). Non-WAV payloads are
+    * skipped, mirroring [[extractImageMeta]]. */
+  def extractAudioMeta(spark: SparkSession, media: DataFrame,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[AudioMeta] = {
+    import spark.implicits._
+    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+      .first().getLong(0)
+    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    media.select(col("doc_id"), col("payload"))
+      .repartition(math.min(parts, 2048))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, payload) =>
+          if (!Wav.isWav(payload)) None
+          else {
+            val a = Wav.decode(payload)
+            var peak = 0L; var sumAbs = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val v = math.abs(a.samples(i).toLong)
+              if (v > peak) peak = v
+              sumAbs += v
+              i += 1
+            }
+            Some(AudioMeta(id, a.sampleRate, a.channels, a.bitsPerSample,
+              a.samples.length.toLong / a.channels, peak, sumAbs))
+          }
+        }
+      }
+  }
+
+  /** Decode + nearest-neighbor RESIZE over PNG payloads, emitting the
+    * resized image's meta ([[Png.resizeNearest]] — exact-integer index
+    * mapping, so oracles replay it). Same partitioning/skip discipline
+    * as [[extractImageMeta]]. */
+  def resizeImages(spark: SparkSession, media: DataFrame, w2: Int, h2: Int,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[ImageMeta] = {
+    import spark.implicits._
+    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+      .first().getLong(0)
+    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    media.select(col("doc_id"), col("payload"))
+      .repartition(math.min(parts, 2048))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, payload) =>
+          if (!Png.isPng(payload)) None
+          else {
+            val img = Png.resizeNearest(Png.decode(payload), w2, h2)
+            var s = 0L
+            var i = 0
+            while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
+            Some(ImageMeta(id, img.width, img.height, img.channels, s))
+          }
+        }
+      }
+  }
+
+  /** Decode + FRAME-SAMPLE over WAV payloads, emitting the decimated
+    * clip's meta ([[Wav.frameSample]] — every stride-th frame). Same
+    * partitioning/skip discipline as [[extractAudioMeta]]. */
+  def frameSampleAudio(spark: SparkSession, media: DataFrame, stride: Int,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[AudioMeta] = {
+    import spark.implicits._
+    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+      .first().getLong(0)
+    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    media.select(col("doc_id"), col("payload"))
+      .repartition(math.min(parts, 2048))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, payload) =>
+          if (!Wav.isWav(payload)) None
+          else {
+            val a = Wav.frameSample(Wav.decode(payload), stride)
+            var peak = 0L; var sumAbs = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val v = math.abs(a.samples(i).toLong)
+              if (v > peak) peak = v
+              sumAbs += v
+              i += 1
+            }
+            Some(AudioMeta(id, a.sampleRate, a.channels, a.bitsPerSample,
+              a.samples.length.toLong / a.channels, peak, sumAbs))
+          }
+        }
+      }
+  }
 }

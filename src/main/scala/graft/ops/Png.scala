@@ -188,4 +188,32 @@ object Png {
     }
     Image(width, height, channels, pixels)
   }
+
+  // ---- transforms ------------------------------------------------------------
+
+  /** Nearest-neighbor resize (floor index mapping: src = dst*srcDim/dstDim)
+    * — the deterministic, interpolation-free downscale a training pipeline
+    * uses for thumbnail/patch extraction; exact-integer so oracles can
+    * replay it. */
+  def resizeNearest(img: Image, w2: Int, h2: Int): Image = {
+    require(w2 > 0 && h2 > 0, s"bad target size ${w2}x$h2")
+    val c = img.channels
+    val out = new Array[Byte](w2 * h2 * c)
+    var y = 0
+    while (y < h2) {
+      val sy = y * img.height / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * img.width / w2
+        var k = 0
+        while (k < c) {
+          out((y * w2 + x) * c + k) = img.pixels((sy * img.width + sx) * c + k)
+          k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(w2, h2, c, out)
+  }
 }

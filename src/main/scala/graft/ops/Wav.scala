@@ -120,4 +120,26 @@ object Wav {
     }
     throw new IllegalArgumentException("no data chunk in WAV payload")
   }
+
+  // ---- transforms ----------------------------------------------------------
+
+  /** Keep every `stride`-th FRAME (all channels of it) — the deterministic
+    * decimation a training pipeline uses to subsample long clips; exact
+    * so oracles can replay it. Sample rate scales down to match. */
+  def frameSample(a: Audio, stride: Int): Audio = {
+    require(stride >= 1, s"bad stride $stride")
+    val frames = a.samples.length / a.channels
+    val kept = (frames + stride - 1) / stride
+    val out = new Array[Int](kept * a.channels)
+    var f = 0
+    while (f < kept) {
+      var c = 0
+      while (c < a.channels) {
+        out(f * a.channels + c) = a.samples(f * stride * a.channels + c)
+        c += 1
+      }
+      f += 1
+    }
+    Audio(a.sampleRate / stride, a.channels, a.bitsPerSample, out)
+  }
 }

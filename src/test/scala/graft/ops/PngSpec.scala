@@ -27,6 +27,23 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeNearest: floor index mapping, identity at same size") {
+    val px = pix(16 * 8 * 3, 99L)
+    val img = Png.Image(16, 8, 3, px)
+    val same = Png.resizeNearest(img, 16, 8)
+    assert(same.pixels.sameElements(px))
+    val r = Png.resizeNearest(img, 4, 4)
+    assert(r.width == 4 && r.height == 4 && r.channels == 3)
+    for (y <- 0 until 4; x <- 0 until 4; k <- 0 until 3)
+      assert(r.pixels((y * 4 + x) * 3 + k) ==
+        px(((y * 8 / 4) * 16 + x * 16 / 4) * 3 + k))
+    // non-divisible target: 7x13 -> 3x5 uses floor(src*dst ratios)
+    val odd = Png.Image(7, 13, 1, pix(7 * 13, 5L))
+    val r2 = Png.resizeNearest(odd, 3, 5)
+    for (y <- 0 until 5; x <- 0 until 3)
+      assert(r2.pixels(y * 3 + x) == odd.pixels((y * 13 / 5) * 7 + x * 7 / 3))
+  }
+
   test("decode rejects non-PNG and truncated payloads") {
     intercept[IllegalArgumentException] {
       Png.decode("definitely not a png".getBytes)
