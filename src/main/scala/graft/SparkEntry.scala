@@ -1503,6 +1503,37 @@ object SparkEntry {
       r.join(f, Seq("doc_id"))
     }),
 
+    "q68_video_frames" -> ((s, dir) => {
+      // REAL in-JVM video decode (Y4M = ASCII header grammar + raw
+      // planar frames; the encoder plants unknown Xgraft parameters on
+      // the stream AND frame headers so the tag-skip path is always
+      // exercised) + stride-2 FRAME-SAMPLE: synthesize a deterministic
+      // mono clip per doc, decode through the byte-budget multimodal
+      // pipeline, emit integer luma stats for the full and decimated
+      // clips — values only a correct header walk + plane slicing can
+      // produce — and let the oracle recompute them from doc_id
+      val docs = t(s, dir, "documents")
+      val mkY4m = udf((id: Long) => {
+        val n = 3 + (id % 5).toInt
+        val frames = Array.tabulate(n)(f =>
+          Array.tabulate(48)(i => ((id * 11 + f * 131 + i * 7) % 256).toByte))
+        graft.ops.Y4m.encode(graft.ops.Y4m.Video(8, 6, 24, 1,
+          mono = true, frames))
+      })
+      val media = docs.select(col("doc_id").cast("long").as("doc_id"),
+          mkY4m(col("doc_id").cast("long")).as("payload"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      val full = Multimodal.extractVideoMeta(s, media).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames"), col("y_sum"),
+          col("y_peak").cast("long").as("y_peak"))
+      val sampled = Multimodal.frameSampleVideo(s, media, 2).toDF()
+        .select(col("doc_id"), col("fps_den").cast("long").as("s_fps_den"),
+          col("n_frames").as("s_frames"), col("y_sum").as("s_y_sum"))
+      full.join(sampled, Seq("doc_id"))
+    }),
+
     "q65_min_checkpoint" -> ((s, dir) => {
       // .min-spill checkpoint reuse (SURVEY §2.1; ganon-build --input
       // re-runs read the spilled minimizer files): a build that RESUMES
@@ -2220,6 +2251,25 @@ object SparkEntry {
         |  CAST(len(sa) AS BIGINT) AS s_frames,
         |  CAST(list_max(sa) AS BIGINT) AS s_peak,
         |  CAST(list_sum(sa) AS BIGINT) AS s_sum_abs
+        |FROM s""".stripMargin,
+
+    "q68_video_frames" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    [(doc_id*11 + (k//48)*131 + (k%48)*7) % 256
+        |      for k in generate_series(0, (3 + doc_id % 5) * 48 - 1)] AS px,
+        |    [(doc_id*11 + (k//48)*2*131 + (k%48)*7) % 256
+        |      for k in generate_series(0, ((4 + doc_id % 5) // 2) * 48 - 1)]
+        |      AS sp
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |  CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(px) AS BIGINT) AS y_sum,
+        |  CAST(list_max(px) AS BIGINT) AS y_peak,
+        |  CAST(2 AS BIGINT) AS s_fps_den,
+        |  CAST((4 + doc_id % 5) // 2 AS BIGINT) AS s_frames,
+        |  CAST(list_sum(sp) AS BIGINT) AS s_y_sum
         |FROM s""".stripMargin
   )
 }

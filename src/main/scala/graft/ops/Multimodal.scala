@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 
 /**
  * Multimodal plumbing: image/audio/video payloads ride as opaque `binary`
- * columns with typed metadata. PNG payloads get a REAL in-JVM decode
- * ([[Png]]: inflate + per-scanline unfiltering) via [[extractImageMeta]];
- * other codecs (JPEG/audio/video need libraries this container doesn't
- * ship) fall back to the clearly-marked stub feature below. The
- * Spark-side plumbing — schema, batched per-partition processing shape,
- * partition sizing — is shared by both paths.
+ * columns with typed metadata. Three codecs get a REAL in-JVM decode —
+ * PNG images ([[Png]]: inflate + per-scanline unfiltering), WAV audio
+ * ([[Wav]]: RIFF chunk walk + PCM), Y4M video ([[Y4m]]: header grammar +
+ * raw planes) — plus exact-integer transform verbs (resize, frame-sample)
+ * on top. Codecs that need libraries this container doesn't ship
+ * (JPEG/MP3/H.264) fall back to the clearly-marked stub feature below.
+ * The Spark-side plumbing — schema, batched per-partition processing
+ * shape, partition sizing — is shared by all paths.
  *
  * At scale: binary payloads dominate bytes, so the pipeline repartitions
  * by byte budget (`targetPartitionBytes`), processes per-partition in
@@ -28,6 +30,19 @@ object Multimodal {
     * unfiltered bytes — a value only a correct full decode can produce. */
   final case class ImageMeta(doc_id: Long, width: Int, height: Int,
       channels: Int, pixel_sum: Long)
+
+  /** Decoded-audio row: format fields straight from `fmt `, `peak` and
+    * `sum_abs` over the decoded signed samples — integer stats only a
+    * correct chunk-walk + little-endian PCM decode can produce (and
+    * hash-stable for oracles, unlike a float RMS). */
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, peak: Long, sum_abs: Long)
+
+  /** Decoded-video row: geometry/rate from the stream header, `y_sum` /
+    * `y_peak` over the LUMA plane of every frame — integer stats only a
+    * correct header walk + plane slicing can produce. */
+  final case class VideoMeta(doc_id: Long, width: Int, height: Int,
+      fps_num: Int, fps_den: Int, n_frames: Long, y_sum: Long, y_peak: Int)
 
   /** Wrap a text table as a binary-payload media table (payload = UTF-8
     * bytes; the container has no real media fixtures). */
@@ -61,13 +76,8 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[MediaFeature] = {
     import spark.implicits._
-    // sum over zero rows is SQL null — an empty media table yields an
-    // empty result, not an unboxing NPE
-    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
-      .first().getLong(0)
-    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
     media.select(col("doc_id"), col("payload"), col("n_bytes"))
-      .repartition(math.min(parts, 2048))
+      .repartition(byteBudgetParts(media, targetPartitionBytes))
       .as[(Long, Array[Byte], Long)]
       .mapPartitions { iter =>
         iter.map { case (id, payload, nb) =>
@@ -76,130 +86,128 @@ object Multimodal {
       }
   }
 
-  /** REAL image decode over PNG payloads (same byte-budget partitioning as
-    * [[extractFeatures]]): each partition decodes its payloads in-JVM —
-    * inflate + unfilter, [[Png.decode]] — and emits per-image dimensions
-    * plus the pixel sum. Non-PNG payloads are skipped (width = -1 rows
-    * would poison oracles; callers filter by media_type upstream). */
+  /** Partition count sized so each holds ~`targetPartitionBytes` of
+    * payload (capped; binary blobs dominate partition memory, row counts
+    * don't). `sum` over zero rows is SQL null — an empty media table
+    * yields one partition, not an unboxing NPE. */
+  private def byteBudgetParts(media: DataFrame, targetPartitionBytes: Long): Int = {
+    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+      .first().getLong(0)
+    math.min(math.max(1, (totalBytes / targetPartitionBytes).toInt), 2048)
+  }
+
+  /** The shared decode pipeline: byte-budget repartition of (doc_id,
+    * payload), then a per-partition flatMap of `decodeOne` — which skips
+    * foreign payloads by returning None (emitting sentinel rows would
+    * poison oracles; callers filter by media_type upstream). */
+  private def decodeMapped[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, media: DataFrame, targetPartitionBytes: Long)(
+      decodeOne: (Long, Array[Byte]) => Option[T]): Dataset[T] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .repartition(byteBudgetParts(media, targetPartitionBytes))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(iter => iter.flatMap { case (id, p) => decodeOne(id, p) })
+  }
+
+  private def imageMeta(id: Long, img: Png.Image): ImageMeta = {
+    var s = 0L
+    var i = 0
+    while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
+    ImageMeta(id, img.width, img.height, img.channels, s)
+  }
+
+  private def audioMeta(id: Long, a: Wav.Audio): AudioMeta = {
+    var peak = 0L; var sumAbs = 0L
+    var i = 0
+    while (i < a.samples.length) {
+      val v = math.abs(a.samples(i).toLong)
+      if (v > peak) peak = v
+      sumAbs += v
+      i += 1
+    }
+    AudioMeta(id, a.sampleRate, a.channels, a.bitsPerSample,
+      a.samples.length.toLong / a.channels, peak, sumAbs)
+  }
+
+  private def videoMeta(id: Long, v: Y4m.Video): VideoMeta = {
+    val luma = v.width * v.height // stats over the Y plane only
+    var s = 0L; var peak = 0
+    v.frames.foreach { f =>
+      var i = 0
+      while (i < luma) {
+        val px = f(i) & 0xFF
+        s += px
+        if (px > peak) peak = px
+        i += 1
+      }
+    }
+    VideoMeta(id, v.width, v.height, v.fpsNum, v.fpsDen,
+      v.frames.length.toLong, s, peak)
+  }
+
+  /** REAL image decode over PNG payloads: inflate + unfilter in-JVM
+    * ([[Png.decode]]), emitting per-image dimensions plus the pixel sum. */
   def extractImageMeta(spark: SparkSession, media: DataFrame,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[ImageMeta] = {
     import spark.implicits._
-    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
-      .first().getLong(0)
-    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
-    media.select(col("doc_id"), col("payload"))
-      .repartition(math.min(parts, 2048))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.flatMap { case (id, payload) =>
-          if (!Png.isPng(payload)) None
-          else {
-            val img = Png.decode(payload)
-            var sum = 0L
-            var i = 0
-            while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
-            Some(ImageMeta(id, img.width, img.height, img.channels, sum))
-          }
-        }
-      }
+    decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
+      if (!Png.isPng(p)) None else Some(imageMeta(id, Png.decode(p)))
+    }
   }
 
-  /** Decoded-audio row: format fields straight from `fmt `, `peak` and
-    * `sum_abs` over the decoded signed samples — integer stats only a
-    * correct chunk-walk + little-endian PCM decode can produce (and
-    * hash-stable for oracles, unlike a float RMS). */
-  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
-      bits: Int, n_frames: Long, peak: Long, sum_abs: Long)
-
-  /** REAL audio decode over WAV payloads (same byte-budget partitioning
-    * as [[extractFeatures]]): each partition walks the RIFF chunk list
-    * and decodes PCM in-JVM ([[Wav.decode]]). Non-WAV payloads are
-    * skipped, mirroring [[extractImageMeta]]. */
+  /** REAL audio decode over WAV payloads: RIFF chunk walk + PCM in-JVM
+    * ([[Wav.decode]]). */
   def extractAudioMeta(spark: SparkSession, media: DataFrame,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[AudioMeta] = {
     import spark.implicits._
-    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
-      .first().getLong(0)
-    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
-    media.select(col("doc_id"), col("payload"))
-      .repartition(math.min(parts, 2048))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.flatMap { case (id, payload) =>
-          if (!Wav.isWav(payload)) None
-          else {
-            val a = Wav.decode(payload)
-            var peak = 0L; var sumAbs = 0L
-            var i = 0
-            while (i < a.samples.length) {
-              val v = math.abs(a.samples(i).toLong)
-              if (v > peak) peak = v
-              sumAbs += v
-              i += 1
-            }
-            Some(AudioMeta(id, a.sampleRate, a.channels, a.bitsPerSample,
-              a.samples.length.toLong / a.channels, peak, sumAbs))
-          }
-        }
-      }
+    decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
+      if (!Wav.isWav(p)) None else Some(audioMeta(id, Wav.decode(p)))
+    }
+  }
+
+  /** REAL video decode over Y4M payloads: header grammar + raw plane
+    * slicing in-JVM ([[Y4m.decode]]). */
+  def extractVideoMeta(spark: SparkSession, media: DataFrame,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[VideoMeta] = {
+    import spark.implicits._
+    decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
+      if (!Y4m.isY4m(p)) None else Some(videoMeta(id, Y4m.decode(p)))
+    }
   }
 
   /** Decode + nearest-neighbor RESIZE over PNG payloads, emitting the
     * resized image's meta ([[Png.resizeNearest]] — exact-integer index
-    * mapping, so oracles replay it). Same partitioning/skip discipline
-    * as [[extractImageMeta]]. */
+    * mapping, so oracles replay it). */
   def resizeImages(spark: SparkSession, media: DataFrame, w2: Int, h2: Int,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[ImageMeta] = {
     import spark.implicits._
-    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
-      .first().getLong(0)
-    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
-    media.select(col("doc_id"), col("payload"))
-      .repartition(math.min(parts, 2048))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.flatMap { case (id, payload) =>
-          if (!Png.isPng(payload)) None
-          else {
-            val img = Png.resizeNearest(Png.decode(payload), w2, h2)
-            var s = 0L
-            var i = 0
-            while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
-            Some(ImageMeta(id, img.width, img.height, img.channels, s))
-          }
-        }
-      }
+    decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
+      if (!Png.isPng(p)) None
+      else Some(imageMeta(id, Png.resizeNearest(Png.decode(p), w2, h2)))
+    }
   }
 
   /** Decode + FRAME-SAMPLE over WAV payloads, emitting the decimated
-    * clip's meta ([[Wav.frameSample]] — every stride-th frame). Same
-    * partitioning/skip discipline as [[extractAudioMeta]]. */
+    * clip's meta ([[Wav.frameSample]] — every stride-th frame). */
   def frameSampleAudio(spark: SparkSession, media: DataFrame, stride: Int,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[AudioMeta] = {
     import spark.implicits._
-    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
-      .first().getLong(0)
-    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
-    media.select(col("doc_id"), col("payload"))
-      .repartition(math.min(parts, 2048))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.flatMap { case (id, payload) =>
-          if (!Wav.isWav(payload)) None
-          else {
-            val a = Wav.frameSample(Wav.decode(payload), stride)
-            var peak = 0L; var sumAbs = 0L
-            var i = 0
-            while (i < a.samples.length) {
-              val v = math.abs(a.samples(i).toLong)
-              if (v > peak) peak = v
-              sumAbs += v
-              i += 1
-            }
-            Some(AudioMeta(id, a.sampleRate, a.channels, a.bitsPerSample,
-              a.samples.length.toLong / a.channels, peak, sumAbs))
-          }
-        }
-      }
+    decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
+      if (!Wav.isWav(p)) None
+      else Some(audioMeta(id, Wav.frameSample(Wav.decode(p), stride)))
+    }
+  }
+
+  /** Decode + FRAME-SAMPLE over Y4M payloads, emitting the decimated
+    * clip's meta ([[Y4m.frameSample]] — every stride-th frame, frame
+    * rate stretched exactly). */
+  def frameSampleVideo(spark: SparkSession, media: DataFrame, stride: Int,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[VideoMeta] = {
+    import spark.implicits._
+    decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
+      if (!Y4m.isY4m(p)) None
+      else Some(videoMeta(id, Y4m.frameSample(Y4m.decode(p), stride)))
+    }
   }
 }
