@@ -655,12 +655,7 @@ object SketchBuild {
     graft.io.SketchStore.claimGeneration(conf.value, dir, gen)
     graft.io.SketchStore.releaseClaimOnFailure(conf.value, dir, gen) {
     val shardDir = graft.io.SketchStore.shardDirOf(dir, gen)
-    // clear leftovers of THIS (uncommitted, exclusively claimed) generation
-    // only — a crashed earlier attempt's partial blobs; committed
-    // generations are never touched (pinned readers keep their snapshot)
-    val shardPath = new org.apache.hadoop.fs.Path(shardDir)
-    val fs0 = shardPath.getFileSystem(conf.value)
-    if (fs0.exists(shardPath)) fs0.delete(shardPath, true)
+    graft.io.SketchStore.clearClaimedShardDir(conf.value, shardDir)
     // ONE action: write each group's (re-windowed) shard blob executor-side,
     // return only (grp, coarseBlob) — the driver-bounded metadata
     val coarseRows = binsDf
@@ -963,13 +958,7 @@ object SketchBuild {
     graft.io.SketchStore.claimGeneration(hconf, dir, gen)
     graft.io.SketchStore.releaseClaimOnFailure(hconf, dir, gen) {
     val newShardDir = graft.io.SketchStore.shardDirOf(dir, gen)
-    // clear a crashed earlier attempt's partial blobs of THIS uncommitted
-    // generation (exclusively claimed above)
-    locally {
-      val p2 = new org.apache.hadoop.fs.Path(newShardDir)
-      val fs = p2.getFileSystem(hconf)
-      if (fs.exists(p2)) fs.delete(p2, true)
-    }
+    graft.io.SketchStore.clearClaimedShardDir(hconf, newShardDir)
 
     // removal = per-group bin-column masks over the OLD layout, applied
     // wherever the old blob is first read (no driver-side blob I/O)

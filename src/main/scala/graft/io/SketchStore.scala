@@ -52,6 +52,20 @@ object SketchStore {
   private[graft] def genDir(dir: String, gen: Int) = s"$dir/gen_$gen"
   private[graft] def shardDirOf(dir: String, gen: Int) = s"$dir/shards_v$gen"
 
+  /** Clear leftovers of an UNCOMMITTED, exclusively-claimed generation's
+    * shard dir — a crashed earlier attempt's partial blobs. Committed
+    * generations are never touched (pinned readers keep their snapshot).
+    * EVERY claimant that writes blobs must call this right after its
+    * claim: it establishes the invariant [[writeShardBlob]] relies on —
+    * any blob existing at this generation's paths during the job was
+    * written by a duplicate attempt of THIS job, hence identical bytes. */
+  private[graft] def clearClaimedShardDir(conf: Configuration,
+      shardDir: String): Unit = {
+    val p = new Path(shardDir)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** The committed generation, if the dir holds a store. */
   def currentGeneration(conf: Configuration, dir: String): Option[Int] = {
     val p = currentPath(dir)
@@ -93,14 +107,25 @@ object SketchStore {
     val lock = lockPath(dir, gen)
     val fs = lock.getFileSystem(conf)
     fs.mkdirs(new Path(dir))
+    def alreadyClaimed(e: java.io.IOException): Nothing =
+      throw new IllegalStateException(
+        s"generation $gen of sketch store $dir is already claimed by " +
+          "another writer (concurrent build/update in flight, or a " +
+          "crashed one). If no writer is running, call " +
+          "SketchStore.releaseStaleLocks(spark, dir) and retry.", e)
     try fs.create(lock, false).close()
     catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        alreadyClaimed(e)
       case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"generation $gen of sketch store $dir is already claimed by " +
-            "another writer (concurrent build/update in flight, or a " +
-            "crashed one). If no writer is running, call " +
-            "SketchStore.releaseStaleLocks(spark, dir) and retry.", e)
+        // a filesystem that signals exists-collisions with a bare
+        // IOException vs a REAL I/O fault (connection reset, safe-mode,
+        // permissions): only report "claimed" when the lock is actually
+        // there — misdiagnosing an outage as a claim sends the operator
+        // to releaseStaleLocks, which cannot help
+        if (try fs.exists(lock) catch { case _: java.io.IOException => false })
+          alreadyClaimed(e)
+        else throw e
     }
     // post-claim staleness check: a writer that loaded the SAME base
     // generation may have committed this gen and released its lock between
@@ -202,6 +227,7 @@ object SketchStore {
     claimGeneration(conf, dir, gen)
     releaseClaimOnFailure(conf, dir, gen) {
       val sd = shardDirOf(dir, gen)
+      clearClaimedShardDir(conf, sd)
       db.shards.zipWithIndex.foreach { case (shard, g) =>
         writeShardBlob(conf, sd, g, shard.toBytes)
       }
@@ -286,6 +312,7 @@ object SketchStore {
     claimGeneration(conf, destDir, gen)
     releaseClaimOnFailure(conf, destDir, gen) {
       val sd = shardDirOf(destDir, gen)
+      clearClaimedShardDir(conf, sd)
       val srcGens = db.shardGens
       val nG = db.layout.numGroups
       val hc = new graft.build.SerializableHadoopConf(conf)

@@ -207,6 +207,37 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("exportSnapshot clears a crashed prior attempt's leftover blobs") {
+    val docs = graft.synth.Corpus.df(spark, 600, numRepos = 150,
+      partitions = 4).cache()
+    val p = IbfParams(k = 19, w = 31, maxFp = 0.001)
+    val src = freshDir("exp_src")
+    val built = SketchBuild.buildToStore(spark, docs, "repo", "content",
+      src, p)
+    val nG = built.layout.numGroups
+    assume(nG >= 2)
+    // simulate a source whose last group routed zero hashes: such groups
+    // have no blob file and the export SKIPS them — the path a leftover
+    // blob from a dead attempt could previously slip through
+    val victim = nG - 1
+    assert(new java.io.File(s"$src/shards_v1/grp_$victim.bin").delete())
+    val handle = graft.io.SketchStore.loadTwoLevelLazy(spark, src)
+    // a crashed earlier export into destDir left a junk blob at the SAME
+    // generation this retry will claim (the crash released its lock)
+    val dest = freshDir("exp_dst")
+    new java.io.File(s"$dest/shards_v1").mkdirs()
+    val junk = new java.io.FileOutputStream(
+      s"$dest/shards_v1/grp_$victim.bin")
+    try junk.write(Array.fill[Byte](64)(0x5A)) finally junk.close()
+    graft.io.SketchStore.exportSnapshot(spark, handle, dest)
+    assert(!new java.io.File(s"$dest/shards_v1/grp_$victim.bin").exists(),
+      "the dead attempt's junk blob must not survive into the commit")
+    // and the exported store answers exactly like the handle
+    val re = graft.io.SketchStore.loadTwoLevelLazy(spark, dest)
+    assert(matches(re, docs) == matches(handle, docs))
+    docs.unpersist()
+  }
+
   test("gcGenerations reclaims superseded blobs, keeps referenced ones") {
     val docs = graft.synth.Corpus.df(spark, 1000, numRepos = 150, partitions = 8)
       .cache()
