@@ -36,6 +36,35 @@ object SparkEntry {
     f.delete()
   }
 
+  // Shared media fixtures for q58/q66/q67/q68: ONE copy of each
+  // pixel/sample formula, because the DuckDB oracles replay these
+  // formulas arithmetically — a second inline copy drifting from the
+  // first would silently desynchronize a query from its oracle.
+  /** 16x8 grayscale PNG, pixel i = (i*31 + id*7) % 256. */
+  private val mkPngUdf = udf((id: Long) => {
+    val px = Array.tabulate(16 * 8)(i => ((i * 31 + id * 7) % 256).toByte)
+    graft.ops.Png.encode(16, 8, 1, px)
+  })
+
+  /** 16-bit mono WAV, 48 + id%16 samples of (id*13 + i*97) % 4001 - 2000
+    * at 8000 + id%8 Hz. */
+  private val mkWavUdf = udf((id: Long) => {
+    val n = 48 + (id % 16).toInt
+    val smp = Array.tabulate(n)(i => ((id * 13 + i * 97) % 4001).toInt - 2000)
+    graft.ops.Wav.encode(graft.ops.Wav.Audio(
+      8000 + (id % 8).toInt, 1, 16, smp))
+  })
+
+  /** 8x6 mono Y4M at 24 fps, 3 + id%5 frames of
+    * (id*11 + f*131 + i*7) % 256 luma. */
+  private val mkY4mUdf = udf((id: Long) => {
+    val n = 3 + (id % 5).toInt
+    val frames = Array.tabulate(n)(f =>
+      Array.tabulate(48)(i => ((id * 11 + f * 131 + i * 7) % 256).toByte))
+    graft.ops.Y4m.encode(graft.ops.Y4m.Video(8, 6, 24, 1,
+      mono = true, frames))
+  })
+
   /** Flagship: ganon-style classification of documents against lang bins
     * at sf0.001 — which lang bins does each doc's shingle set hit. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1247,12 +1276,8 @@ object SparkEntry {
       // pixel sum — a value only a correct inflate+unfilter can produce —
       // and let the oracle recompute it arithmetically from doc_id
       val docs = t(s, dir, "documents")
-      val mkPng = udf((id: Long) => {
-        val px = Array.tabulate(16 * 8)(i => ((i * 31 + id * 7) % 256).toByte)
-        graft.ops.Png.encode(16, 8, 1, px)
-      })
       val media = docs.select(col("doc_id").cast("long").as("doc_id"),
-          mkPng(col("doc_id").cast("long")).as("payload"),
+          mkPngUdf(col("doc_id").cast("long")).as("payload"),
           lit("image/png").as("media_type"))
         .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       Multimodal.extractImageMeta(s, media).toDF()
@@ -1452,14 +1477,8 @@ object SparkEntry {
       // stats — values only a correct chunk-walk + PCM decode can
       // produce — and let the oracle recompute them from doc_id
       val docs = t(s, dir, "documents")
-      val mkWav = udf((id: Long) => {
-        val n = 48 + (id % 16).toInt
-        val smp = Array.tabulate(n)(i => ((id * 13 + i * 97) % 4001).toInt - 2000)
-        graft.ops.Wav.encode(graft.ops.Wav.Audio(
-          8000 + (id % 8).toInt, 1, 16, smp))
-      })
       val media = docs.select(col("doc_id").cast("long").as("doc_id"),
-          mkWav(col("doc_id").cast("long")).as("payload"),
+          mkWavUdf(col("doc_id").cast("long")).as("payload"),
           lit("audio/wav").as("media_type"))
         .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       Multimodal.extractAudioMeta(s, media).toDF()
@@ -1475,27 +1494,22 @@ object SparkEntry {
       // over decoded WAVs — both exact-integer, so the oracle replays the
       // index mapping arithmetically from doc_id
       val docs = t(s, dir, "documents")
-      val mkPng = udf((id: Long) => {
-        val px = Array.tabulate(16 * 8)(i => ((i * 31 + id * 7) % 256).toByte)
-        graft.ops.Png.encode(16, 8, 1, px)
-      })
-      val mkWav = udf((id: Long) => {
-        val n = 48 + (id % 16).toInt
-        val smp = Array.tabulate(n)(i => ((id * 13 + i * 97) % 4001).toInt - 2000)
-        graft.ops.Wav.encode(graft.ops.Wav.Audio(
-          8000 + (id % 8).toInt, 1, 16, smp))
-      })
       val imgs = docs.select(col("doc_id").cast("long").as("doc_id"),
-          mkPng(col("doc_id").cast("long")).as("payload"))
+          mkPngUdf(col("doc_id").cast("long")).as("payload"))
         .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       val clips = docs.select(col("doc_id").cast("long").as("doc_id"),
-          mkWav(col("doc_id").cast("long")).as("payload"))
+          mkWavUdf(col("doc_id").cast("long")).as("payload"))
         .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
-      val r = Multimodal.resizeImages(s, imgs, 4, 4).toDF()
+      // payloads here are COMPUTED (UDF fixtures), so the byte-budget
+      // sizing pass would re-run every encode; 0 keeps input partitioning
+      // (q58/q66/q68 still exercise the sized path on the same verbs)
+      val r = Multimodal.resizeImages(s, imgs, 4, 4,
+        targetPartitionBytes = 0L).toDF()
         .select(col("doc_id"), col("width").cast("long").as("rwidth"),
           col("height").cast("long").as("rheight"),
           col("pixel_sum").as("resized_sum"))
-      val f = Multimodal.frameSampleAudio(s, clips, 4).toDF()
+      val f = Multimodal.frameSampleAudio(s, clips, 4,
+        targetPartitionBytes = 0L).toDF()
         .select(col("doc_id"),
           col("sample_rate").cast("long").as("s_rate"),
           col("n_frames").as("s_frames"), col("peak").as("s_peak"),
@@ -1513,22 +1527,16 @@ object SparkEntry {
       // clips — values only a correct header walk + plane slicing can
       // produce — and let the oracle recompute them from doc_id
       val docs = t(s, dir, "documents")
-      val mkY4m = udf((id: Long) => {
-        val n = 3 + (id % 5).toInt
-        val frames = Array.tabulate(n)(f =>
-          Array.tabulate(48)(i => ((id * 11 + f * 131 + i * 7) % 256).toByte))
-        graft.ops.Y4m.encode(graft.ops.Y4m.Video(8, 6, 24, 1,
-          mono = true, frames))
-      })
       val media = docs.select(col("doc_id").cast("long").as("doc_id"),
-          mkY4m(col("doc_id").cast("long")).as("payload"))
+          mkY4mUdf(col("doc_id").cast("long")).as("payload"))
         .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       val full = Multimodal.extractVideoMeta(s, media).toDF()
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames"), col("y_sum"),
           col("y_peak").cast("long").as("y_peak"))
-      val sampled = Multimodal.frameSampleVideo(s, media, 2).toDF()
+      val sampled = Multimodal.frameSampleVideo(s, media, 2,
+        targetPartitionBytes = 0L).toDF() // computed payloads: skip sizing
         .select(col("doc_id"), col("fps_den").cast("long").as("s_fps_den"),
           col("n_frames").as("s_frames"), col("y_sum").as("s_y_sum"))
       full.join(sampled, Seq("doc_id"))

@@ -72,12 +72,17 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction (mapInPandas batch shape:
-    * iterator of rows in, iterator of typed results out). */
+    * iterator of rows in, iterator of typed results out).
+    * `targetPartitionBytes <= 0` skips the sizing pass (see
+    * [[byteBudgetParts]]) and keeps the input partitioning. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[MediaFeature] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"), col("n_bytes"))
-      .repartition(byteBudgetParts(media, targetPartitionBytes))
+    val projected = media.select(col("doc_id"), col("payload"), col("n_bytes"))
+    val sized =
+      if (targetPartitionBytes <= 0) projected
+      else projected.repartition(byteBudgetParts(media, targetPartitionBytes))
+    sized
       .as[(Long, Array[Byte], Long)]
       .mapPartitions { iter =>
         iter.map { case (id, payload, nb) =>
@@ -89,25 +94,51 @@ object Multimodal {
   /** Partition count sized so each holds ~`targetPartitionBytes` of
     * payload (capped; binary blobs dominate partition memory, row counts
     * don't). `sum` over zero rows is SQL null — an empty media table
-    * yields one partition, not an unboxing NPE. */
+    * yields one partition, not an unboxing NPE.
+    *
+    * This is an EAGER aggregate over `n_bytes` before the decode pass. On
+    * a stored media table that's a column-pruned scan of one cheap column;
+    * but when `n_bytes` (or the payload it derives from) is COMPUTED
+    * upstream, the computation runs twice — once here, once in the decode
+    * pass. Callers in that position pass `targetPartitionBytes <= 0` to
+    * skip the sizing job and keep the input partitioning. */
   private def byteBudgetParts(media: DataFrame, targetPartitionBytes: Long): Int = {
-    val totalBytes = media.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+    val totalBytes = media.select(col("n_bytes"))
+      .agg(coalesce(sum(col("n_bytes")), lit(0L)))
       .first().getLong(0)
     math.min(math.max(1, (totalBytes / targetPartitionBytes).toInt), 2048)
   }
 
   /** The shared decode pipeline: byte-budget repartition of (doc_id,
-    * payload), then a per-partition flatMap of `decodeOne` — which skips
-    * foreign payloads by returning None (emitting sentinel rows would
-    * poison oracles; callers filter by media_type upstream). */
+    * payload) — skipped when `targetPartitionBytes <= 0` — then a
+    * per-partition flatMap of `decodeOne`, which skips foreign payloads by
+    * returning None (emitting sentinel rows would poison oracles; callers
+    * filter by media_type upstream).
+    *
+    * A payload that passes the caller's signature sniff but is CORRUPT
+    * (truncated download, bit rot — routine in a scraped corpus) makes the
+    * codec throw; one such row must not abort a million-row extract job,
+    * so decode failures are quarantined: the row is dropped and counted in
+    * the `graft.media.corrupt` accumulator (visible per-job in the Spark
+    * UI; like any transformation-stage accumulator it can overcount under
+    * task retries — treat it as observability, not an exact tally). */
   private def decodeMapped[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, media: DataFrame, targetPartitionBytes: Long)(
       decodeOne: (Long, Array[Byte]) => Option[T]): Dataset[T] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"))
-      .repartition(byteBudgetParts(media, targetPartitionBytes))
+    val corrupt = spark.sparkContext.longAccumulator("graft.media.corrupt")
+    val projected = media.select(col("doc_id"), col("payload"))
+    val sized =
+      if (targetPartitionBytes <= 0) projected
+      else projected.repartition(byteBudgetParts(media, targetPartitionBytes))
+    sized
       .as[(Long, Array[Byte])]
-      .mapPartitions(iter => iter.flatMap { case (id, p) => decodeOne(id, p) })
+      .mapPartitions(iter => iter.flatMap { case (id, p) =>
+        try decodeOne(id, p)
+        catch {
+          case scala.util.control.NonFatal(_) => corrupt.add(1L); None
+        }
+      })
   }
 
   private def imageMeta(id: Long, img: Png.Image): ImageMeta = {

@@ -74,6 +74,11 @@ object Y4m {
     i + 1
   }
 
+  /** The 8-bit 4:2:0 colorspace names (yuv4mpeg.h's C420 family minus the
+    * p10/p12/p16 high-bit-depth variants this byte-per-sample slicer
+    * cannot represent). */
+  private val Cs420_8bit = Set("420", "420jpeg", "420mpeg2", "420paldv")
+
   def decode(b: Array[Byte]): Video = {
     require(isY4m(b), "not a YUV4MPEG2 payload")
     val hdrEnd = lineEnd(b, Magic.length)
@@ -94,8 +99,11 @@ object Y4m {
     require(w > 0 && h > 0, s"Y4M header missing W/H (got ${w}x$h)")
     require(fn > 0 && fd > 0, s"bad frame rate $fn:$fd")
     val mono = cs == "mono"
-    require(mono || cs.startsWith("420"),
-      s"only mono and 4:2:0 colorspaces supported, got C$cs")
+    // exact 8-bit 4:2:0 names only: a prefix match would wave through the
+    // 10/12/16-bit variants (C420p10...) whose planes are 2 bytes/sample
+    // and mis-slice every frame at the 8-bit size
+    require(mono || Cs420_8bit(cs),
+      s"only mono and 8-bit 4:2:0 colorspaces supported, got C$cs")
     require(mono || (w % 2 == 0 && h % 2 == 0),
       s"4:2:0 needs even dimensions, got ${w}x$h")
     val fb = if (mono) w * h else w * h + 2 * ((w / 2) * (h / 2))

@@ -52,13 +52,18 @@ class PngSpec extends AnyFunSuite {
     intercept[Exception] { Png.decode(good.take(good.length - 20)) }
   }
 
-  test("extractImageMeta decodes PNGs, skips foreign payloads") {
+  test("extractImageMeta decodes PNGs, skips foreign and corrupt payloads") {
     val spark = graft.spark.SparkTestSession.spark
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rows = (0L until 20L).map { id =>
       val payload =
         if (id % 5 == 4) Array[Byte](1, 2, 3) // not a PNG: must be skipped
+        else if (id == 7L)
+          // CORRUPT: valid 8-byte signature, truncated IDAT (the classic
+          // partial-download artifact) — must be quarantined, not abort
+          // the whole job
+          Png.encode(4, 3, 1, Array.tabulate(12)(_.toByte)).take(30)
         else Png.encode(4, 3, 1,
           Array.tabulate(12)(i => ((i + id) % 256).toByte))
       (id, payload)
@@ -67,10 +72,14 @@ class PngSpec extends AnyFunSuite {
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
     val out = Multimodal.extractImageMeta(spark, media)
       .collect().map(m => m.doc_id -> m).toMap
-    assert(out.size == 16)
+    assert(out.size == 15 && !out.contains(7L))
     out.foreach { case (id, m) =>
       assert(m.width == 4 && m.height == 3 && m.channels == 1)
       assert(m.pixel_sum == (0 until 12).map(i => (i + id) % 256).sum)
     }
+    // targetPartitionBytes <= 0 skips the sizing pass, same rows out
+    val out0 = Multimodal.extractImageMeta(spark, media,
+      targetPartitionBytes = 0L).collect()
+    assert(out0.map(_.doc_id).sorted.sameElements(out.keys.toArray.sorted))
   }
 }

@@ -61,6 +61,13 @@ class Y4mSpec extends AnyFunSuite {
       Y4m.decode(cs.getBytes("ISO-8859-1"))
     }
     assert(e.getMessage.contains("colorspace"))
+    // high-bit-depth 4:2:0 (2 bytes/sample) must be rejected too — a
+    // prefix match on "420" would wave it through and mis-slice frames
+    val cs10 = new String(good, "ISO-8859-1").replace("Cmono", "C420p10")
+    val e10 = intercept[IllegalArgumentException] {
+      Y4m.decode(cs10.getBytes("ISO-8859-1"))
+    }
+    assert(e10.getMessage.contains("colorspace"), e10.getMessage)
     // 4:2:0 with odd dimensions must be rejected at encode time
     intercept[IllegalArgumentException] {
       Y4m.encode(Y4m.Video(5, 4, 24, 1, mono = false, Array.empty))
