@@ -1343,6 +1343,63 @@ object SparkEntry {
           (col("base_ok") && col("bad").isNull).as("ok"))
     }),
 
+    "q69_stream_live" -> ((s, dir) => {
+      // live-store streaming classify: generation commits land at
+      // micro-batch boundaries. Batch 0 classifies on generation 1 (the
+      // holdout source absent), generation 2 commits the holdout between
+      // batches, batch 1 classifies on generation 2 — each batch must
+      // equal batch-mode classify against an equivalent fresh build of
+      // ITS generation (never a mix), with the generation observed by the
+      // sink carried per row so the oracle join checks the pairing too
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = t(s, dir, "documents").cache()
+      val holdout = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).last
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+      val storeDir = s"/tmp/graft_q69_${math.abs(dir.hashCode)}"
+      deleteRec(new java.io.File(storeDir))
+      SketchBuild.buildToStore(s, docs.filter(col("source") =!= holdout),
+        "source", "text", storeDir, p)
+      val rows = docs.select(col("doc_id").cast("string"), col("text"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val (b1, b2) = rows.partition(_._1.toLong % 2 == 0)
+      val cp = ClassifyParams(relCutoff = 1.0, fprQuery = 1.0)
+      val outDir = s"/tmp/graft_q69_out_${math.abs(dir.hashCode)}"
+      deleteRec(new java.io.File(outDir))
+      val ms = MemoryStream[(String, String)]
+      val q = graft.streaming.StreamClassify.classifyLiveStore(s,
+          ms.toDF().toDF("id", "text"), "id", "text", storeDir, cp) {
+          (out, _, gen) =>
+            out.withColumn("gen", lit(gen))
+              .write.mode("append").parquet(outDir)
+        }.start()
+      ms.addData(b1: _*); q.processAllAvailable()
+      SketchBuild.updateStored(s, storeDir,
+        docs.filter(col("source") === holdout), "source", "text")
+      ms.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val streamed = s.read.parquet(outDir)
+      def expect(rows: Array[(String, String)], base: DataFrame, gen: Int) =
+        Classify.allMatches(Classify.classify(s,
+            s.createDataFrame(rows.toSeq).toDF("id", "text"),
+            "id", "text",
+            SketchBuild.build(s, base, "source", "text", p), cp))
+          .withColumn("gen", lit(gen))
+      val expected = expect(b1, docs.filter(col("source") =!= holdout), 1)
+        .unionByName(expect(b2, docs, 2))
+      val mism = streamed.withColumn("a", lit(1))
+        .join(expected.withColumn("b", lit(1)),
+          Seq("read_id", "target", "kmer_count", "gen"), "full_outer")
+        .filter(col("a").isNull || col("b").isNull)
+        .select("read_id").distinct().withColumn("bad", lit(1))
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("doc_id"), col("bad").isNull.as("ok"))
+    }),
+
     "q45_simhash_pairs" -> ((s, dir) => {
       // simhash banded PAIR generation recall guarantee: an exact-duplicate
       // pair has identical token multisets => identical simhash => hamming 0
@@ -2059,6 +2116,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q56_compact_store" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q69_stream_live" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
 

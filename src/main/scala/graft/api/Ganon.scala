@@ -112,6 +112,22 @@ object Ganon {
     (res, Classify.reportBySample(res), Classify.staBySample(res))
   }
 
+  /** ganon classify as a LONG-RUNNING stream against a live store: each
+    * micro-batch classifies with the store's newest committed generation,
+    * picking up [[updateStored]]/[[compactStored]] commits at batch
+    * boundaries (see [[graft.streaming.StreamClassify.classifyLiveStore]]
+    * for the broadcast-per-generation discipline). `sink` receives each
+    * batch's `.all` matches, the batch id, and the generation that
+    * classified it; start the returned writer. */
+  def classifyLiveStore(spark: SparkSession, stream: DataFrame,
+      idCol: String, contentCol: String, storeDir: String,
+      params: ClassifyParams = ClassifyParams())(
+      sink: (DataFrame, Long, Int) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    graft.streaming.StreamClassify.classifyLiveStore(spark, stream, idCol,
+      contentCol, storeDir, params)(sink)
+
   /** Persist a db. For the in-memory layouts this writes a new store; for
     * a store-backed [[graft.build.LazyTwoLevelDb]] handle it EXPORTS the
     * handle's pinned snapshot into `dir` as a fresh self-contained store

@@ -99,14 +99,45 @@ object Classify {
     * rows — the single- and paired-read projections both feed this. */
   private[graft] def classifyHashed(spark: SparkSession,
       hashed: Dataset[(String, Int, Array[Long])], db: ProbeDb,
+      cp: ClassifyParams, lcaOpt: Option[Lca]): Dataset[ReadResult] =
+    classifyHashedB(spark, hashed, spark.sparkContext.broadcast(db), cp,
+      lcaOpt)
+
+  /** Probe stage over a CALLER-OWNED broadcast. Repeated calls with the
+    * SAME broadcast (e.g. every micro-batch of a stream) reuse the one
+    * deserialized db instance per executor, so a lazy handle's shard cache
+    * survives across batches — re-broadcasting per batch would re-fetch
+    * every touched shard each time. The caller manages the broadcast's
+    * lifetime (destroy it when rotating to a new store generation). */
+  private[graft] def classifyHashedB(spark: SparkSession,
+      hashed: Dataset[(String, Int, Array[Long])],
+      dbB: org.apache.spark.broadcast.Broadcast[ProbeDb],
       cp: ClassifyParams, lcaOpt: Option[Lca]): Dataset[ReadResult] = {
     import spark.implicits._
-    val dbB = spark.sparkContext.broadcast(db)
     val lcaB = spark.sparkContext.broadcast(lcaOpt)
     hashed.mapPartitions { iter =>
       val one = rowClassifier(dbB.value, lcaB.value, cp)
       iter.map { case (id, len, hs) => one(id, len, hs) }
     }
+  }
+
+  /** [[classify]] over a caller-owned broadcast db (see
+    * [[classifyHashedB]] for the reuse contract). `params` must be the
+    * broadcast db's own params — they drive the shingle projection. */
+  def classifyB(spark: SparkSession, reads: DataFrame, idCol: String,
+      contentCol: String,
+      dbB: org.apache.spark.broadcast.Broadcast[ProbeDb],
+      params: graft.build.IbfParams,
+      cp: ClassifyParams = ClassifyParams(),
+      lcaOpt: Option[Lca] = None): Dataset[ReadResult] = {
+    import spark.implicits._
+    val shExpr = graft.spark.ShinglesExpr.col(
+      coalesce(col(contentCol), lit("")), params.k, params.w, params.seed)
+    classifyHashedB(spark, reads
+      .select(col(idCol).cast("string").as("read_id"),
+        coalesce(octet_length(col(contentCol)), lit(0)).as("len"),
+        shExpr.as("hs"))
+      .as[(String, Int, Array[Long])], dbB, cp, lcaOpt)
   }
 
   private[classify] def classifyOne(id: String, contentLen: Int,

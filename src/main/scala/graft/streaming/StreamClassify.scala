@@ -106,6 +106,58 @@ object StreamClassify {
     }
 
   /**
+   * Streaming classify against a LIVE generation-versioned store: each
+   * micro-batch re-resolves the store's CURRENT pointer and classifies
+   * with the newest committed generation, so a long-running stream picks
+   * up `updateStored`/`compactStored` commits at batch boundaries — the
+   * one freshness gap snapshot pinning leaves open (a pinned handle NEVER
+   * sees updates, by design; a stream should). Generation rotation is the
+   * ONLY refresh trigger, and it is atomic at a batch boundary: one batch
+   * is classified entirely by one generation, never a mix.
+   *
+   * Broadcast discipline: ONE broadcast per generation, reused across
+   * batches (`Classify.classifyHashedB`), so each executor's lazy shard
+   * cache persists between micro-batches instead of re-fetching every
+   * touched shard per batch; the superseded generation's broadcast is
+   * destroyed at rotation — foreachBatch bodies run synchronously, so
+   * every batch that used it has already completed and no in-flight task
+   * can still hold it.
+   *
+   * `sink` receives (batch output, batchId, generation that classified
+   * it). The batch answer equals batch-mode classify against a fresh load
+   * of the same generation — proved by `StreamLiveStoreSpec` and driver
+   * row q69.
+   */
+  def classifyLiveStore(spark: SparkSession, stream: DataFrame,
+      idCol: String, contentCol: String, storeDir: String,
+      cp: ClassifyParams = ClassifyParams())(
+      sink: (DataFrame, Long, Int) => Unit): DataStreamWriter[Row] = {
+    // driver-side rotation state: foreachBatch bodies run sequentially on
+    // the stream's microbatch thread, so plain vars need no locking
+    var gen = -1
+    var params: graft.build.IbfParams = null
+    var dbB: org.apache.spark.broadcast.Broadcast[ProbeDb] = null
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val cur = graft.io.SketchStore.currentGeneration(conf, storeDir)
+        .getOrElse(throw new IllegalStateException(
+          s"$storeDir has no committed generation"))
+      if (cur != gen) {
+        val db = graft.io.SketchStore.loadAny(spark, storeDir)
+        val old = dbB
+        dbB = spark.sparkContext.broadcast(db)
+        params = db.params
+        gen = cur
+        if (old != null) old.destroy()
+      }
+      val out = Classify.allMatches(Classify.classifyB(
+        spark, batch.toDF(), idCol, contentCol, dbB, params, cp))
+      sink(out, batchId, gen)
+      ()
+    }
+  }
+
+  /**
    * Per-target RUNNING distinct-shingle estimate via custom streaming
    * state (`KeyValueGroupedDataset.mapGroupsWithState`): the group state
    * is a serialized mergeable HLL; each micro-batch folds its rows'

@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{IbfParams, SketchBuild}
+import graft.classify.{Classify, ClassifyParams}
+import graft.spark.SparkTestSession
+import graft.streaming.StreamClassify
+import graft.synth.Corpus
+
+/**
+ * Live-store streaming classify: a long-running stream must pick up
+ * `updateStored` commits at micro-batch boundaries (the reference reloads
+ * its filter file per run, GanonClassify.cpp:949-986; a stream is the
+ * "many runs" shape), while each individual batch is classified by exactly
+ * one committed generation.
+ */
+class StreamLiveStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cp = ClassifyParams(relCutoff = 0.25)
+
+  test("live-store stream: batches follow generation commits, each batch " +
+      "classified by exactly one generation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Corpus.df(spark, 120, numRepos = 6, partitions = 4).cache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_livestore").toString
+    SketchBuild.buildToStore(spark, corpus, "repo", "content", dir,
+      IbfParams(k = 8, w = 8, maxFp = 1e-5))
+
+    // content for a target that does NOT exist at generation 1
+    val zContent = "ZYXWVUTSRQPONMLKJIHGFEDCBA" * 4
+    val probeRows = corpus.select($"path".as("id"), $"content")
+      .limit(20).collect().map(r => (r.getString(0), r.getString(1))) :+
+      (("zprobe", zContent))
+
+    val ms = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Array[String])]
+    val q = StreamClassify.classifyLiveStore(spark,
+        ms.toDF().toDF("id", "content"), "id", "content", dir, cp) {
+        (out, batchId, gen) =>
+          got += ((batchId, gen,
+            out.collect().map(_.toString).sorted))
+      }
+      .start()
+
+    // batch 0 + 1 run on generation 1 (no update between them)
+    ms.addData(probeRows.take(10): _*); q.processAllAvailable()
+    ms.addData(probeRows.slice(10, 15): _*); q.processAllAvailable()
+
+    // commit generation 2: add the z-target
+    SketchBuild.updateStored(spark, dir,
+      Seq(("zrepo", zContent)).toDF("repo", "content"), "repo", "content")
+
+    // batch 2 runs on generation 2 and must see the new target
+    ms.addData(probeRows.drop(15): _*); q.processAllAvailable()
+    q.stop()
+
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 1), (1L, 1), (2L, 2)))
+
+    // each batch's answer == batch-mode classify against a fresh load of
+    // the generation that classified it
+    def batchAnswer(rows: Seq[(String, String)],
+        db: graft.build.ProbeDb): Array[String] =
+      Classify.allMatches(Classify.classify(spark,
+          rows.toDF("id", "content"), "id", "content", db, cp))
+        .collect().map(_.toString).sorted
+    // generation 2 is CURRENT now; reconstruct generation 1's answer from
+    // an equivalent fresh build (gen-1 blobs still on disk but the public
+    // loader reads CURRENT — the in-memory build is the oracle)
+    val db1 = SketchBuild.build(spark, corpus, "repo", "content",
+      IbfParams(k = 8, w = 8, maxFp = 1e-5))
+    val db2 = SketchStore.loadAny(spark, dir)
+    assert(got(0)._3.sameElements(batchAnswer(probeRows.take(10), db1)))
+    assert(got(1)._3.sameElements(batchAnswer(probeRows.slice(10, 15), db1)))
+    assert(got(2)._3.sameElements(batchAnswer(probeRows.drop(15), db2)))
+
+    // the z-probe resolves to the added target at generation 2 only
+    assert(got(2)._3.exists(s => s.contains("zprobe") && s.contains("zrepo")))
+    assert(!got.take(2).exists(_._3.exists(_.contains("zrepo"))))
+  }
+}
