@@ -1400,6 +1400,47 @@ object SparkEntry {
         .select(col("doc_id"), col("bad").isNull.as("ok"))
     }),
 
+    "q70_stream_ingest" -> ((s, dir) => {
+      // continuous ingest: the corpus arrives in three micro-batches
+      // (create store / grow existing + append new / grow all) committing
+      // one O(batch) generation each, gc keeping the last two; the final
+      // store must classify EXACTLY like a fresh batch build over the
+      // union — the update-equivalence invariant (q34/q50/q56) applied to
+      // the streaming write path
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = t(s, dir, "documents").cache()
+      val rows = docs.select(col("source"), col("doc_id").cast("string"),
+          col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      val batches = rows.groupBy(_._2.toLong % 3).toSeq.sortBy(_._1)
+        .map(_._2)
+      val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+      val storeDir = s"/tmp/graft_q70_${math.abs(dir.hashCode)}"
+      deleteRec(new java.io.File(storeDir))
+      val ms = MemoryStream[(String, String, String)]
+      val q = graft.streaming.StreamClassify.ingestForeachBatch(s,
+          ms.toDF().toDF("source", "doc_id", "text"), "source", "text",
+          storeDir, p, gcKeepGens = Some(2)).start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val cp = ClassifyParams(relCutoff = 1.0, fprQuery = 1.0)
+      def ans(db: graft.build.ProbeDb) = Classify.allMatches(
+        Classify.classify(s, docs, "doc_id", "text", db, cp))
+      val mism = ans(graft.io.SketchStore.loadAny(s, storeDir))
+        .withColumn("a", lit(1))
+        .join(ans(SketchBuild.build(s, docs, "source", "text", p))
+          .withColumn("b", lit(1)),
+          Seq("read_id", "target", "kmer_count"), "full_outer")
+        .filter(col("a").isNull || col("b").isNull)
+        .select("read_id").distinct().withColumn("bad", lit(1))
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("doc_id").cast("string").as("read_id"))
+        .join(mism, Seq("read_id"), "left")
+        .select(col("doc_id"), col("bad").isNull.as("ok"))
+    }),
+
     "q45_simhash_pairs" -> ((s, dir) => {
       // simhash banded PAIR generation recall guarantee: an exact-duplicate
       // pair has identical token multisets => identical simhash => hamming 0
@@ -2120,6 +2161,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q69_stream_live" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
+        |FROM documents""".stripMargin,
+
+    "q70_stream_ingest" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
 

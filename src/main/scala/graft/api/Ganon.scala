@@ -128,6 +128,21 @@ object Ganon {
     graft.streaming.StreamClassify.classifyLiveStore(spark, stream, idCol,
       contentCol, storeDir, params)(sink)
 
+  /** Continuous ingest: ganon build/update driven by a stream — first
+    * non-empty batch creates the store, later ones commit O(batch)
+    * update generations (see
+    * [[graft.streaming.StreamClassify.ingestForeachBatch]] for the
+    * exactly-once and GC contract). The write-side twin of
+    * [[classifyLiveStore]]. */
+  def ingestStream(spark: SparkSession, stream: DataFrame,
+      targetCol: String, contentCol: String, storeDir: String,
+      params: graft.build.IbfParams = graft.build.IbfParams(),
+      gcKeepGens: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    graft.streaming.StreamClassify.ingestForeachBatch(spark, stream,
+      targetCol, contentCol, storeDir, params, gcKeepGens)
+
   /** Persist a db. For the in-memory layouts this writes a new store; for
     * a store-backed [[graft.build.LazyTwoLevelDb]] handle it EXPORTS the
     * handle's pinned snapshot into `dir` as a fresh self-contained store

@@ -158,6 +158,49 @@ object StreamClassify {
   }
 
   /**
+   * Continuous INGEST: build/extend a generation-versioned store FROM a
+   * stream — the write-side twin of [[classifyLiveStore]] (one stream
+   * ingests, another classifies live; together they are the reference's
+   * rebuild-and-rerun cycle, `build_update.py:157`, running continuously).
+   * The first non-empty micro-batch creates the store (`buildToStore`);
+   * every later one commits an O(batch) `updateStored` generation —
+   * existing targets grow, new targets append, so the final store equals
+   * a fresh build over the union of all batches (the update-equivalence
+   * invariant, driver rows q34/q50/q56, applied per batch). Empty batches
+   * commit nothing. `gcKeepGens` (if set) reclaims superseded generations
+   * after each commit, keeping the last K readable for pinned readers —
+   * without it a long-running ingest accumulates one generation per
+   * batch. Exactly-once note: a batch REPLAYED after a crash between its
+   * store commit and the checkpoint commit re-inserts its hashes; Bloom
+   * insertion is idempotent for existing targets' bins (same bits set)
+   * but replayed APPENDS of a then-new target would double the target's
+   * bins, so run with a checkpointLocation and treat the store as behind
+   * the stream's own commit log, or compact after recovery.
+   */
+  def ingestForeachBatch(spark: SparkSession, stream: DataFrame,
+      targetCol: String, contentCol: String, storeDir: String,
+      p: graft.build.IbfParams = graft.build.IbfParams(),
+      gcKeepGens: Option[Int] = None): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val b = batch.toDF().persist()
+      try {
+        if (!b.isEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val exists = graft.io.SketchStore
+            .currentGeneration(conf, storeDir).isDefined
+          if (exists)
+            graft.build.SketchBuild.updateStored(spark, storeDir, b,
+              targetCol, contentCol)
+          else
+            graft.build.SketchBuild.buildToStore(spark, b, targetCol,
+              contentCol, storeDir, p)
+          gcKeepGens.foreach(k =>
+            graft.io.SketchStore.gcGenerations(spark, storeDir, k))
+        }
+      } finally { b.unpersist(); () }
+    }
+
+  /**
    * Per-target RUNNING distinct-shingle estimate via custom streaming
    * state (`KeyValueGroupedDataset.mapGroupsWithState`): the group state
    * is a serialized mergeable HLL; each micro-batch folds its rows'

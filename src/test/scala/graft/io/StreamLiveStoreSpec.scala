@@ -87,4 +87,55 @@ class StreamLiveStoreSpec extends AnyFunSuite {
     assert(got(2)._3.exists(s => s.contains("zprobe") && s.contains("zrepo")))
     assert(!got.take(2).exists(_._3.exists(_.contains("zrepo"))))
   }
+
+  test("continuous ingest: streamed build/update generations equal a " +
+      "fresh build over the union; gc bounds generations") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Corpus.df(spark, 90, numRepos = 6, partitions = 4)
+      .select($"repo", $"path", $"content").cache()
+    val rows = corpus.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // batch 1: first 4 repos; batch 2: grows 2 of them + adds the rest;
+    // batch 3: more rows for every repo — exercises create, grow, append
+    val repos = rows.map(_._1).distinct.sorted
+    val b1 = rows.filter(r => repos.take(4).contains(r._1) &&
+      math.abs(r._2.hashCode) % 2 == 0)
+    val b2 = rows.filter(r => !b1.contains(r) &&
+      math.abs(r._2.hashCode) % 3 != 0)
+    val b3 = rows.filter(r => !b1.contains(r) && !b2.contains(r))
+    assert(b1.nonEmpty && b2.nonEmpty && b3.nonEmpty)
+
+    val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString
+    new java.io.File(dir).delete() // buildToStore wants to create it
+
+    val ms = MemoryStream[(String, String, String)]
+    val q = StreamClassify.ingestForeachBatch(spark,
+        ms.toDF().toDF("repo", "path", "content"), "repo", "content", dir,
+        p, gcKeepGens = Some(2))
+      .start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    ms.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(SketchStore.currentGeneration(conf, dir).contains(3))
+    // gc kept only the last 2 generations' shard dirs
+    val shardDirs = new java.io.File(dir).list().toSeq
+      .filter(_.startsWith("shards_v")).sorted
+    assert(shardDirs == Seq("shards_v2", "shards_v3"))
+
+    // final store classifies exactly like a fresh build over all rows
+    val ingested = SketchStore.loadAny(spark, dir)
+    val fresh = graft.build.SketchBuild.build(spark, corpus, "repo",
+      "content", p)
+    def ans(db: graft.build.ProbeDb) = Classify.allMatches(
+        Classify.classify(spark, corpus, "path", "content", db, cp))
+      .collect().map(_.toString).sorted
+    assert(ans(ingested).sameElements(ans(fresh)))
+  }
 }
