@@ -122,15 +122,16 @@ object Classify {
   }
 
   /** [[classify]] over a caller-owned broadcast db (see
-    * [[classifyHashedB]] for the reuse contract). `params` must be the
-    * broadcast db's own params — they drive the shingle projection. */
+    * [[classifyHashedB]] for the reuse contract). The shingle projection's
+    * params come from the broadcast value itself (driver-local access —
+    * no fetch), so they can never drift from the db being probed. */
   def classifyB(spark: SparkSession, reads: DataFrame, idCol: String,
       contentCol: String,
       dbB: org.apache.spark.broadcast.Broadcast[ProbeDb],
-      params: graft.build.IbfParams,
       cp: ClassifyParams = ClassifyParams(),
       lcaOpt: Option[Lca] = None): Dataset[ReadResult] = {
     import spark.implicits._
+    val params = dbB.value.params
     val shExpr = graft.spark.ShinglesExpr.col(
       coalesce(col(contentCol), lit("")), params.k, params.w, params.seed)
     classifyHashedB(spark, reads

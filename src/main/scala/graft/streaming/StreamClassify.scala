@@ -135,7 +135,6 @@ object StreamClassify {
     // driver-side rotation state: foreachBatch bodies run sequentially on
     // the stream's microbatch thread, so plain vars need no locking
     var gen = -1
-    var params: graft.build.IbfParams = null
     var dbB: org.apache.spark.broadcast.Broadcast[ProbeDb] = null
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val conf = spark.sparkContext.hadoopConfiguration
@@ -146,12 +145,11 @@ object StreamClassify {
         val db = graft.io.SketchStore.loadAny(spark, storeDir)
         val old = dbB
         dbB = spark.sparkContext.broadcast(db)
-        params = db.params
         gen = cur
         if (old != null) old.destroy()
       }
       val out = Classify.allMatches(Classify.classifyB(
-        spark, batch.toDF(), idCol, contentCol, dbB, params, cp))
+        spark, batch.toDF(), idCol, contentCol, dbB, cp))
       sink(out, batchId, gen)
       ()
     }
