@@ -138,4 +138,51 @@ class StreamLiveStoreSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(ans(ingested).sameElements(ans(fresh)))
   }
+
+  test("composition: an ingest stream and a classify stream share one " +
+      "store; the classifier picks up each ingested generation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Corpus.df(spark, 80, numRepos = 4, partitions = 4)
+      .select($"repo", $"path", $"content").cache()
+    val rows = corpus.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val repos = rows.map(_._1).distinct.sorted
+    val (r1, r2) = rows.partition(r => repos.take(2).contains(r._1))
+
+    val p = IbfParams(k = 8, w = 8, maxFp = 1e-5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compose").toString
+    new java.io.File(dir).delete()
+
+    val ingestMs = MemoryStream[(String, String, String)]
+    val ingest = StreamClassify.ingestForeachBatch(spark,
+      ingestMs.toDF().toDF("repo", "path", "content"), "repo", "content",
+      dir, p).start()
+    // first commit must exist before the classify stream's first batch
+    ingestMs.addData(r1: _*); ingest.processAllAvailable()
+
+    val classifyMs = MemoryStream[(String, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, Set[String])]
+    val classify = StreamClassify.classifyLiveStore(spark,
+        classifyMs.toDF().toDF("id", "content"), "id", "content", dir, cp) {
+        (out, _, gen) =>
+          seen += ((gen,
+            out.select("target").distinct()
+              .collect().map(_.getString(0)).toSet))
+      }.start()
+
+    // probe one read from EACH half; only the ingested half's repo matches
+    val probe1 = Seq((r1.head._2, r1.head._3), (r2.head._2, r2.head._3))
+    classifyMs.addData(probe1: _*); classify.processAllAvailable()
+    // second ingest commit, then the same probes against generation 2
+    ingestMs.addData(r2: _*); ingest.processAllAvailable()
+    classifyMs.addData(probe1: _*); classify.processAllAvailable()
+    ingest.stop(); classify.stop()
+
+    assert(seen.map(_._1).toSeq == Seq(1, 2))
+    assert(seen(0)._2.contains(r1.head._1) && !seen(0)._2.contains(r2.head._1))
+    assert(seen(1)._2.contains(r1.head._1) && seen(1)._2.contains(r2.head._1))
+  }
 }
