@@ -946,6 +946,56 @@ object SparkEntry {
               greatest(col("n_hash") * bound, lit(1.0))).as("ok"))
     }),
 
+    "q71_stream_quantiles" -> ((s, dir) => {
+      // streaming KLL state (the quantile twin of q46): per-event-type
+      // RUNNING quantiles over the value stream. Invariants: the final
+      // state's n equals the batch per-type row count, and each
+      // estimate's RANK in the exact batch distribution lands within the
+      // sketch's rank-error bound of its target quantile (the KLL
+      // guarantee is on rank, not value)
+      val srcDir = java.nio.file.Paths.get(
+        s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val qs = Array(0.1, 0.5, 0.9)
+      val kllK = 256
+      val out = graft.streaming.StreamClassify.runningQuantiles(
+        s, stream, "event_type", "value", qs, kllK)
+        .toDF("target", "est", "n")
+      val qname = "graft_stream_q_" + math.abs(dir.hashCode)
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      val fin = s.table(qname).groupBy("target")
+        .agg(max(struct(col("n"), col("est"))).as("f"))
+        .select(col("target"), col("f.est").as("est"), col("f.n").as("n"))
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("target"), col("value"))
+      val ranks = fin
+        .select(col("target"), col("n"),
+          posexplode(col("est")).as(Seq("qi", "e")))
+        .join(ev, Seq("target"))
+        .groupBy("target", "qi", "e", "n")
+        .agg((sum(when(col("value") <= col("e"), 1).otherwise(0)) /
+          count(lit(1))).as("rank"),
+          count(lit(1)).as("n_rows"))
+      val bound = graft.core.sketch.Kll.empty(kllK).rankErrorBound
+      val qArr = array(qs.map(lit(_)): _*)
+      ranks
+        .withColumn("q", element_at(qArr, col("qi") + 1))
+        .groupBy("target")
+        .agg(max(col("n_rows")).as("n_rows"),
+          (max(abs(col("rank") - col("q"))) <=
+            lit(bound) + lit(2.0) / max(col("n_rows")) &&
+            min((col("n") === col("n_rows")).cast("int")) === 1).as("ok"))
+        .select(col("target"), col("n_rows"), col("ok"))
+    }),
+
     "q47_build_store" -> ((s, dir) => {
       // build-direct-to-store: shard blobs written from executors, driver
       // bounded by coarse + metadata; the returned lazy db must classify
@@ -2094,6 +2144,10 @@ object SparkEntry {
     "q47_build_store" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS ok
         |FROM documents""".stripMargin,
+
+    "q71_stream_quantiles" ->
+      """SELECT event_type AS target, COUNT(*) AS n_rows, true AS ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q48_embed_lsh_dups" ->
       """SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS ok

@@ -210,6 +210,38 @@ object StreamClassify {
    * independent of stream length (the reason a sketch, not a set, is the
    * right streaming state at 10^12 files). Use with outputMode("update").
    */
+  /**
+   * Per-group RUNNING quantile estimate (KLL as `mapGroupsWithState`
+   * state) — the quantile twin of [[runningDistinct]], covering the north
+   * star's file-size/shingle-count quantile sketches on the streaming
+   * side. Each micro-batch folds its rows' values into the group's KLL;
+   * the emitted estimates carry the sketch's rank-error bound against the
+   * exact prefix distribution, and merge associativity makes the running
+   * answer independent of micro-batch boundaries. State is O(k log n)
+   * doubles per group. Use with outputMode("update").
+   */
+  def runningQuantiles(spark: SparkSession, stream: DataFrame,
+      groupCol: String, valueCol: String, qs: Array[Double], k: Int = 200)
+      : Dataset[(String, Array[Double], Long)] = {
+    import spark.implicits._
+    val quantiles = qs.clone()
+    stream
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Array[Byte], Long), (String, Array[Double], Long)](
+        GroupStateTimeout.NoTimeout) { (g, rows, state) =>
+        val (bytes, n0) = state.getOption
+          .getOrElse((graft.core.sketch.Kll.empty(k).toBytes, 0L))
+        val kll = graft.core.sketch.Kll.fromBytes(bytes)
+        var n = n0
+        rows.foreach { case (_, v) => kll.add(v); n += 1 }
+        state.update((kll.toBytes, n))
+        (g, quantiles.map(kll.quantile), n)
+      }
+  }
+
   def runningDistinct(spark: SparkSession, stream: DataFrame,
       targetCol: String, contentCol: String, k: Int, w: Int, p: Int = 14,
       seed: Long = Hashing.DefaultSeed): Dataset[(String, Long, Long)] = {

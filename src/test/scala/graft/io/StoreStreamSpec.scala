@@ -72,6 +72,39 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming state: running KLL quantiles track the exact prefix " +
+      "within the sketch's rank-error bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val b1 = Array.fill(4000)(("a", math.pow(rnd.nextDouble(), 2) * 1e4))
+    val b2 = Array.fill(6000)(("a", rnd.nextDouble() * 1e4))
+    val qs = Array(0.1, 0.5, 0.9)
+    val k = 256
+    val ms = MemoryStream[(String, Double)]
+    val out = StreamClassify.runningQuantiles(spark,
+        ms.toDF().toDF("g", "v"), "g", "v", qs, k)
+      .toDF("g", "est", "n")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("graft_rq_test").start()
+    ms.addData(b1.toSeq: _*); q.processAllAvailable()
+    ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    // final row = the 10k-value prefix; compare each estimate's rank in
+    // the exact sorted data against its target rank (the KLL guarantee is
+    // on RANK error, not value error)
+    val fin = spark.table("graft_rq_test").orderBy(desc("n")).head()
+    assert(fin.getAs[Long]("n") == 10000L)
+    val est = fin.getAs[scala.collection.Seq[Double]]("est")
+    val exact = (b1 ++ b2).map(_._2).sorted
+    val bound = graft.core.sketch.Kll.empty(k).rankErrorBound + 1e-9
+    qs.zip(est).foreach { case (qq, e) =>
+      val rank = exact.count(_ <= e).toDouble / exact.length
+      assert(math.abs(rank - qq) <= bound + 2.0 / exact.length,
+        s"q=$qq est=$e rank=$rank bound=$bound")
+    }
+  }
+
   test("streaming state: running HLL distinct survives micro-batch boundaries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
