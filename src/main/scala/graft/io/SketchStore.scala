@@ -348,12 +348,19 @@ object SketchStore {
       shardGens: Array[Int], g: Int): Option[InterleavedBloom] =
     readShardBlobAt(conf, shardDirOf(dir, shardGens(g)), g)
 
+  /** JVM-wide count of shard-blob fetches (observability: in local mode
+    * it proves cache-warmth claims — e.g. a live-store stream reusing one
+    * broadcast per generation fetches each shard ONCE across
+    * micro-batches, not once per batch). */
+  val shardBlobReads = new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def readShardBlobAt(conf: Configuration,
       shardDir: String, g: Int): Option[InterleavedBloom] = {
     val path = new Path(s"$shardDir/grp_$g.bin")
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) None
     else {
+      shardBlobReads.incrementAndGet()
       val in = fs.open(path)
       try Some(readIbfStream(in)) finally in.close()
     }

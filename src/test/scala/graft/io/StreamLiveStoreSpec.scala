@@ -139,6 +139,36 @@ class StreamLiveStoreSpec extends AnyFunSuite {
     assert(ans(ingested).sameElements(ans(fresh)))
   }
 
+  test("broadcast reuse: a second micro-batch on the same generation " +
+      "fetches ZERO shard blobs (executor cache stays warm)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Corpus.df(spark, 80, numRepos = 4, partitions = 4).cache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_warm").toString
+    SketchBuild.buildToStore(spark, corpus, "repo", "content", dir,
+      IbfParams(k = 8, w = 8, maxFp = 1e-5))
+    val probe = corpus.select($"path".as("id"), $"content").limit(5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+    val ms = MemoryStream[(String, String)]
+    val q = StreamClassify.classifyLiveStore(spark,
+        ms.toDF().toDF("id", "content"), "id", "content", dir, cp) {
+        (out, _, _) => out.count(); ()
+      }.start()
+    ms.addData(probe: _*); q.processAllAvailable()
+    val afterFirst = SketchStore.shardBlobReads.get()
+    assert(afterFirst > 0) // the first batch did fetch shards
+    // SAME rows again, same generation: every group they touch is already
+    // resident in the broadcast handle's executor cache — zero fetches
+    ms.addData(probe: _*); q.processAllAvailable()
+    q.stop()
+    assert(SketchStore.shardBlobReads.get() == afterFirst,
+      "second batch on the same generation re-fetched shard blobs — " +
+        "the per-generation broadcast is not being reused")
+  }
+
   test("composition: an ingest stream and a classify stream share one " +
       "store; the classifier picks up each ingested generation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
