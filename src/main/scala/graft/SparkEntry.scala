@@ -996,6 +996,57 @@ object SparkEntry {
         .select(col("target"), col("n_rows"), col("ok"))
     }),
 
+    "q72_stream_cms" -> ((s, dir) => {
+      // streaming CMS state (the frequency leg of the trio with q46/q71):
+      // per-event-type RUNNING token counts over the props stream.
+      // Invariants: n equals the exact per-type token total, and every
+      // probe token's estimate obeys the CMS guarantee against the exact
+      // batch count — overestimate-only, within eps*N
+      val srcDir = java.nio.file.Paths.get(
+        s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val ev = t(s, dir, "events")
+      val toks = ev.select(col("event_type").as("target"),
+        explode(filter(split(coalesce(col("props"), lit("")), "\\s+"),
+          t2 => t2 =!= "")).as("tok"))
+      // probe the 5 globally most frequent tokens (deterministic)
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(5)
+        .collect().map(_.getString(0))
+      val eps = 0.0005
+      val schema = ev.schema
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val out = graft.streaming.StreamClassify.runningFrequency(
+        s, stream, "event_type", "props", probes, eps, 0.001)
+        .toDF("target", "est", "n")
+      val qname = "graft_stream_cms_" + math.abs(dir.hashCode)
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      val fin = s.table(qname).groupBy("target")
+        .agg(max(struct(col("n"), col("est"))).as("f"))
+        .select(col("target"), posexplode(col("f.est")).as(Seq("pi", "e")),
+          col("f.n").as("n"))
+        .withColumn("tok", element_at(array(probes.map(lit(_)): _*),
+          col("pi") + 1))
+      val exact = toks.groupBy("target", "tok").agg(count(lit(1)).as("ex"))
+      val totals = toks.groupBy("target").agg(count(lit(1)).as("n_toks"))
+      fin.join(exact, Seq("target", "tok"), "left")
+        .na.fill(0L, Seq("ex"))
+        .join(totals, Seq("target"))
+        .groupBy("target")
+        .agg(max(col("n_toks")).as("n_toks"),
+          (min((col("n") === col("n_toks")).cast("int")) === 1 &&
+            min((col("e") >= col("ex")).cast("int")) === 1 &&
+            max(col("e") - col("ex") - ceil(lit(eps) * col("n_toks")))
+              <= 0).as("ok"))
+        .select(col("target"), col("n_toks"), col("ok"))
+    }),
+
     "q47_build_store" -> ((s, dir) => {
       // build-direct-to-store: shard blobs written from executors, driver
       // bounded by coarse + metadata; the returned lazy db must classify
@@ -2147,6 +2198,14 @@ object SparkEntry {
 
     "q71_stream_quantiles" ->
       """SELECT event_type AS target, COUNT(*) AS n_rows, true AS ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q72_stream_cms" ->
+      """SELECT event_type AS target,
+        |  CAST(SUM(len(list_filter(regexp_split_to_array(
+        |    coalesce(props, ''), '\s+'), t -> t <> ''))) AS BIGINT)
+        |    AS n_toks,
+        |  true AS ok
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q48_embed_lsh_dups" ->

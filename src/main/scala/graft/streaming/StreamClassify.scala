@@ -242,6 +242,47 @@ object StreamClassify {
       }
   }
 
+  /**
+   * Per-group RUNNING frequency estimates (count-min as
+   * `mapGroupsWithState` state) — the frequency leg of the streaming
+   * sketch trio (HLL distinct / KLL quantiles / CMS counts). Each
+   * micro-batch folds its rows' key hashes into the group's CMS; the
+   * output reports the running estimate for each of the caller's
+   * `probeKeys` (the monitoring shape: "track these patterns per
+   * stream"), carrying the CMS guarantee against the exact prefix —
+   * exact ≤ estimate ≤ exact + eps·N at confidence 1−delta, N = total
+   * keys folded so far. State is depth×width longs per group, independent
+   * of stream length. Use with outputMode("update").
+   */
+  def runningFrequency(spark: SparkSession, stream: DataFrame,
+      groupCol: String, keysCol: String, probeKeys: Array[String],
+      eps: Double = 0.0005, delta: Double = 0.001)
+      : Dataset[(String, Array[Long], Long)] = {
+    import spark.implicits._
+    val probeHashes = probeKeys.map(Hashing.hashString(_))
+    // token MULTISET hashes (TokenHashesExpr dedupes per row — wrong for
+    // counting); same hashing scheme as the batch CMS queries
+    val multiHash = udf((text: String) =>
+      text.split("\\s+").filter(_.nonEmpty).map(Hashing.hashString(_)))
+    stream
+      .select(col(groupCol).cast("string").as("g"),
+        multiHash(coalesce(col(keysCol), lit(""))).as("hs"))
+      .as[(String, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Array[Long], Long)](
+        GroupStateTimeout.NoTimeout) { (g, rows, state) =>
+        val cms = state.getOption
+          .map(graft.core.sketch.CountMin.fromBytes)
+          .getOrElse(graft.core.sketch.CountMin.forGuarantee(eps, delta))
+        rows.foreach { case (_, hs) =>
+          var i = 0
+          while (i < hs.length) { cms.add(hs(i)); i += 1 }
+        }
+        state.update(cms.toBytes)
+        (g, probeHashes.map(cms.estimate), cms.total)
+      }
+  }
+
   def runningDistinct(spark: SparkSession, stream: DataFrame,
       targetCol: String, contentCol: String, k: Int, w: Int, p: Int = 14,
       seed: Long = Hashing.DefaultSeed): Dataset[(String, Long, Long)] = {

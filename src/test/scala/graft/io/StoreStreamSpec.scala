@@ -105,6 +105,45 @@ class StoreStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming state: running CMS frequencies carry the eps*N " +
+      "overestimate-only bound across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq(("a", "x x y z"), ("a", "x y"), ("b", "q q q"))
+    val b2 = Seq(("a", "x z z w"), ("b", "q r"))
+    val probes = Array("x", "z", "q", "absent")
+    val ms = MemoryStream[(String, String)]
+    val out = StreamClassify.runningFrequency(spark,
+        ms.toDF().toDF("g", "txt"), "g", "txt", probes,
+        eps = 0.001, delta = 0.001)
+      .toDF("g", "est", "n")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("graft_rf_test").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("graft_rf_test")
+      .groupBy("g").agg(max(struct($"n", $"est")).as("f"))
+      .select($"g", $"f.est", $"f.n")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[scala.collection.Seq[Long]](1), r.getLong(2))).toMap
+    val all = b1 ++ b2
+    def exact(g: String, tok: String) = all.filter(_._1 == g)
+      .map(_._2.split(" ").count(_ == tok)).sum.toLong
+    def totalN(g: String) = all.filter(_._1 == g)
+      .map(_._2.split(" ").length).sum.toLong
+    Seq("a", "b").foreach { g =>
+      val (est, n) = fin(g)
+      assert(n == totalN(g))
+      val slack = math.ceil(0.001 * n).toLong
+      probes.zipWithIndex.foreach { case (tok, i) =>
+        val ex = exact(g, tok)
+        assert(est(i) >= ex && est(i) <= ex + slack,
+          s"g=$g tok=$tok est=${est(i)} exact=$ex")
+      }
+    }
+  }
+
   test("streaming state: running HLL distinct survives micro-batch boundaries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
