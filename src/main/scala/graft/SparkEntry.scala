@@ -215,10 +215,9 @@ object SparkEntry {
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
       // build the CMS distributively over per-row token MULTISET hashes
-      val multiHash = udf((text: String) =>
-        text.split("\\s+").filter(_.nonEmpty).map(Hashing.hashString(_)))
+      // (codegen expression — byte-exact with Hashing.hashString probes)
       val cmsBytes = docs
-        .select(multiHash(col("text")).as("hs"))
+        .select(GraftFunctions.tokenHashesMultiset(col("text")).as("hs"))
         .agg(GraftFunctions.cmsSketch(col("hs"), 7, 8192).as("cms"))
         .head().getAs[Array[Byte]](0)
       val cms = CountMin.fromBytes(cmsBytes)

@@ -27,6 +27,12 @@ object GraftFunctions {
   def tokenHashes(text: Column, seed: Long = Hashing.DefaultSeed): Column =
     TokenHashesExpr.col(text, seed)
 
+  /** Token MULTISET hashes (no per-row dedup) — feed frequency sketches
+    * with this one; the distinct form would undercount repeats. */
+  def tokenHashesMultiset(text: Column,
+      seed: Long = Hashing.DefaultSeed): Column =
+    TokenHashesExpr.col(text, seed, distinct = false)
+
   val hash64Udf: UserDefinedFunction =
     udf((s: String) => if (s == null) 0L else Hashing.hashString(s))
 

@@ -56,9 +56,13 @@ object ShinglesExpr {
       ShinglesExpr(ExpressionUtils.expression(c), k, w, seed))
 }
 
-/** Distinct whitespace-token 64-bit hashes of a text column — same
-  * no-boxing, codegen-friendly design as [[ShinglesExpr]]. */
-case class TokenHashesExpr(child: Expression, seed: Long)
+/** Whitespace-token 64-bit hashes of a text column — same no-boxing,
+  * codegen-friendly design as [[ShinglesExpr]]. `distinct = true` (the
+  * set-semantics default, for membership/minhash) dedupes per row;
+  * `distinct = false` keeps the token MULTISET (for frequency sketches —
+  * a counting consumer fed the deduped form would undercount). */
+case class TokenHashesExpr(child: Expression, seed: Long,
+    distinct: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -71,11 +75,11 @@ case class TokenHashesExpr(child: Expression, seed: Long)
   }
 
   override def nullSafeEval(input: Any): Any =
-    TokenHashesExpr.compute(input.asInstanceOf[UTF8String], seed)
+    TokenHashesExpr.compute(input.asInstanceOf[UTF8String], seed, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.spark.TokenHashesExpr.compute($c, ${seed}L)")
+      s"graft.spark.TokenHashesExpr.compute($c, ${seed}L, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -88,7 +92,11 @@ object TokenHashesExpr {
 
   /** Tokenize on ASCII whitespace over raw bytes, hash each token with the
     * same polynomial+mix64 scheme as Hashing.hashString (ASCII-identical). */
-  def compute(s: UTF8String, seed: Long): UnsafeArrayData = {
+  def compute(s: UTF8String, seed: Long): UnsafeArrayData =
+    compute(s, seed, distinct = true)
+
+  def compute(s: UTF8String, seed: Long, distinct: Boolean)
+      : UnsafeArrayData = {
     val b = s.getBytes
     val out = new Array[Long](16.max(b.length / 4))
     var n = 0
@@ -101,15 +109,17 @@ object TokenHashesExpr {
         var h = seed
         while (i < len && !isWs(b(i))) { h = h * Prime + (b(i) & 0xFF); i += 1 }
         val v = Hashing.mix64(h ^ seed)
-        if (n == out.length) return computeGrow(b, seed) // rare fallback
+        if (n == out.length) return computeGrow(b, seed, distinct) // rare
         out(n) = v; n += 1
       }
     }
+    val trimmed = java.util.Arrays.copyOf(out, n)
     UnsafeArrayData.fromPrimitiveArray(
-      Hashing.sortedDistinct(java.util.Arrays.copyOf(out, n)))
+      if (distinct) Hashing.sortedDistinct(trimmed) else trimmed)
   }
 
-  private def computeGrow(b: Array[Byte], seed: Long): UnsafeArrayData = {
+  private def computeGrow(b: Array[Byte], seed: Long, distinct: Boolean)
+      : UnsafeArrayData = {
     val buf = new scala.collection.mutable.ArrayBuffer[Long]()
     var i = 0
     val len = b.length
@@ -121,16 +131,18 @@ object TokenHashesExpr {
         buf += Hashing.mix64(h ^ seed)
       }
     }
-    UnsafeArrayData.fromPrimitiveArray(Hashing.sortedDistinct(buf.toArray))
+    UnsafeArrayData.fromPrimitiveArray(
+      if (distinct) Hashing.sortedDistinct(buf.toArray) else buf.toArray)
   }
 
   @inline private def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' ||
       c == 0x0B // \v — match java's \s semantics for ASCII
 
-  def col(c: Column, seed: Long = Hashing.DefaultSeed): Column =
+  def col(c: Column, seed: Long = Hashing.DefaultSeed,
+      distinct: Boolean = true): Column =
     ExpressionUtils.column(
-      TokenHashesExpr(ExpressionUtils.expression(c), seed))
+      TokenHashesExpr(ExpressionUtils.expression(c), seed, distinct))
 }
 
 /** MinHash signature of a hash-set column as a native expression — the

@@ -260,13 +260,13 @@ object StreamClassify {
       : Dataset[(String, Array[Long], Long)] = {
     import spark.implicits._
     val probeHashes = probeKeys.map(Hashing.hashString(_))
-    // token MULTISET hashes (TokenHashesExpr dedupes per row — wrong for
-    // counting); same hashing scheme as the batch CMS queries
-    val multiHash = udf((text: String) =>
-      text.split("\\s+").filter(_.nonEmpty).map(Hashing.hashString(_)))
+    // token MULTISET hashes (distinct = false — a counting consumer fed
+    // the deduped form would undercount); codegen expression, byte-exact
+    // with Hashing.hashString on the probe side
     stream
       .select(col(groupCol).cast("string").as("g"),
-        multiHash(coalesce(col(keysCol), lit(""))).as("hs"))
+        graft.spark.TokenHashesExpr.col(coalesce(col(keysCol), lit("")),
+          distinct = false).as("hs"))
       .as[(String, Array[Long])]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Byte], (String, Array[Long], Long)](

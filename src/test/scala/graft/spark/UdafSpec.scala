@@ -113,6 +113,20 @@ class UdafSpec extends AnyFunSuite {
     }
   }
 
+  test("token multiset hashes keep repeats and match hashString per token") {
+    val texts = Seq("x x y  z x", "héllo héllo wörld", "", "single")
+    val rows = texts.toDF("text")
+      .select(GraftFunctions.tokenHashesMultiset($"text").as("mh"))
+      .collect()
+    texts.zip(rows).foreach { case (t, row) =>
+      val got = row.getAs[scala.collection.Seq[Long]](0).toArray
+      val want = t.split("\\s+").filter(_.nonEmpty)
+        .map(graft.core.Hashing.hashString(_))
+      // multiset semantics: ORDER and REPEATS preserved, no dedup
+      assert(got.sameElements(want), s"multiset hash mismatch for '$t'")
+    }
+  }
+
   test("null and empty content flow through the pipeline without error") {
     val df = Seq((1L, "normal content here"), (2L, ""), (3L, null))
       .toDF("id", "text")
