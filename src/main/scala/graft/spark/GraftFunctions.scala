@@ -166,7 +166,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_hashes",
       es => TokenHashesExpr(es.head,
-        if (es.length > 1) evalLongArg(es(1), "seed") else Hashing.DefaultSeed),
+        if (es.length > 1) evalLongArg(es(1), "seed") else Hashing.DefaultSeed,
+        distinct = es.length <= 2 || evalBoolArg(es(2), "distinct")),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",

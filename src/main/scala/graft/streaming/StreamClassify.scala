@@ -124,7 +124,10 @@ object StreamClassify {
    * can still hold it.
    *
    * `sink` receives (batch output, batchId, generation that classified
-   * it). The batch answer equals batch-mode classify against a fresh load
+   * it) and must MATERIALIZE the output before returning (write/collect/
+   * count): a rotation in a later batch destroys the prior generation's
+   * broadcast, invalidating any still-unmaterialized plan built on it.
+   * The batch answer equals batch-mode classify against a fresh load
    * of the same generation — proved by `StreamLiveStoreSpec` and driver
    * row q69.
    */
@@ -226,6 +229,9 @@ object StreamClassify {
     import spark.implicits._
     val quantiles = qs.clone()
     stream
+      // null values would NPE the primitive-Double encoder; a null carries
+      // no rank information, so dropping matches the batch sketches
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
       .as[(String, Double)]

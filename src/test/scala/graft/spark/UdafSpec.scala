@@ -147,6 +147,11 @@ class UdafSpec extends AnyFunSuite {
       .first()
     assert(arr.getAs[scala.collection.Seq[Long]](0).nonEmpty)
     assert(arr.getAs[scala.collection.Seq[Long]](1).size == 3) // distinct tokens
+    // optional 3rd arg: distinct=false keeps the multiset (4 tokens)
+    val multi = spark.sql(
+      s"select graft_token_hashes(text, ${graft.core.Hashing.DefaultSeed}L," +
+        " false) from t_reg").first()
+    assert(multi.getAs[scala.collection.Seq[Long]](0).size == 4)
   }
 
   test("sql: minhash signature + band keys + min-k agg round the lsh loop") {
