@@ -36,6 +36,24 @@ object SparkEntry {
     f.delete()
   }
 
+  /** Stage `table` for the streaming file source (which wants a
+    * DIRECTORY): a /tmp dir holding one symlink to the read-only parquet —
+    * zero copy, deterministic path, shared by every streaming query over
+    * that table. Idempotent across queries and runs (the link target is
+    * the fixture path itself, so regenerated fixtures are seen through
+    * the same link). Returns a started streaming DataFrame. */
+  private def stageStream(s: SparkSession, dir: String, table: String)
+      : DataFrame = {
+    val srcDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_${table}_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve(s"$table.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    s.readStream.schema(t(s, dir, table).schema).parquet(srcDir.toString)
+  }
+
   // Shared media fixtures for q58/q66/q67/q68: ONE copy of each
   // pixel/sample formula, because the DuckDB oracles replay these
   // formulas arithmetically — a second inline copy drifting from the
@@ -371,18 +389,7 @@ object SparkEntry {
     }),
 
     "q20_stream_window" -> ((s, dir) => {
-      // the file source wants a directory; stage a symlink to the (read-only)
-      // events file under /tmp — zero copy, deterministic path
-      val srcDir = java.nio.file.Paths.get(
-        s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
-        .parquet(srcDir.toString)
+      val stream = stageStream(s, dir, "events")
       val agg = stream
         .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
         .withWatermark("ts", "0 seconds")
@@ -909,15 +916,7 @@ object SparkEntry {
       // state's n_reads equals the batch per-type row count, and its
       // estimate lands within the published HLL bound of the exact batch
       // answer (merge associativity makes state order-insensitive)
-      val srcDir = java.nio.file.Paths.get(
-        s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = stageStream(s, dir, "events")
       val out = graft.streaming.StreamClassify.runningDistinct(
         s, stream, "event_type", "props", k = 8, w = 8)
         .toDF("target", "est", "n_reads")
@@ -952,15 +951,7 @@ object SparkEntry {
       // estimate's RANK in the exact batch distribution lands within the
       // sketch's rank-error bound of its target quantile (the KLL
       // guarantee is on rank, not value)
-      val srcDir = java.nio.file.Paths.get(
-        s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = stageStream(s, dir, "events")
       val qs = Array(0.1, 0.5, 0.9)
       val kllK = 256
       val out = graft.streaming.StreamClassify.runningQuantiles(
@@ -1001,13 +992,6 @@ object SparkEntry {
       // Invariants: n equals the exact per-type token total, and every
       // probe token's estimate obeys the CMS guarantee against the exact
       // batch count — overestimate-only, within eps*N
-      val srcDir = java.nio.file.Paths.get(
-        s"/tmp/graft_stream_src_${math.abs(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
       val ev = t(s, dir, "events")
       val toks = ev.select(col("event_type").as("target"),
         explode(filter(split(coalesce(col("props"), lit("")), "\\s+"),
@@ -1017,8 +1001,7 @@ object SparkEntry {
         .orderBy(col("c").desc, col("tok").asc).limit(5)
         .collect().map(_.getString(0))
       val eps = 0.0005
-      val schema = ev.schema
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = stageStream(s, dir, "events")
       val out = graft.streaming.StreamClassify.runningFrequency(
         s, stream, "event_type", "props", probes, eps, 0.001)
         .toDF("target", "est", "n")
@@ -1172,15 +1155,7 @@ object SparkEntry {
       // micro-batches; the emitted digest SET equals batch distinct texts
       // (which row of a dup group survives is batch-order-dependent, so
       // the oracle checks digests, not ids)
-      val srcDir = java.nio.file.Paths.get(
-        s"/tmp/graft_stream_docs_${math.abs(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("documents.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      val schema = t(s, dir, "documents").schema
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = stageStream(s, dir, "documents")
       // the state key is the binary digest; project to lowercase hex for
       // the DuckDB sha256 comparison
       val out = graft.streaming.StreamClassify.dedupStream(stream, "text")

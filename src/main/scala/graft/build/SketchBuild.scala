@@ -348,8 +348,10 @@ final class LazyTwoLevelDb(
   private def readShard(g: Int): InterleavedBloom =
     graft.io.SketchStore.readShardBlob(hadoopConf.value, storeDir,
       shardGens, g).getOrElse {
-      // a group that routed zero hashes has no blob (e.g. appended targets
-      // with empty content): probe it as all-empty bins
+      // None only for the NoBlobGen sentinel (appended group that routed
+      // zero hashes): probe it as all-empty bins. A blob MISSING under a
+      // real pointer throws inside readShardBlob — a gc'd pinned
+      // generation must fail fast, not silently lose its matches.
       val nLocal = math.min(64, layout.numBins - g * 64)
       InterleavedBloom.empty(nLocal, plan.bitsPerBin, plan.numHashes)
     }
@@ -643,15 +645,25 @@ object SketchBuild {
     * the coarse filter driver-side, commit the manifest. */
   private def storeGeneration(spark: SparkSession, dir: String, p: IbfParams,
       cards: Seq[(String, Long)], thePlan: IbfPlan, layout: BinLayout,
-      binsDf: DataFrame, cleanup: () => Unit): LazyTwoLevelDb = {
+      binsDf: DataFrame, cleanup: () => Unit,
+      basedOnGen: Option[Int] = None): LazyTwoLevelDb = {
     import spark.implicits._
     val numBins = layout.numBins
     val nGroups = layout.numGroups
     val bitsPerBin = thePlan.bitsPerBin
     val numHashes = thePlan.numHashes
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val gen = graft.io.SketchStore
-      .currentGeneration(conf.value, dir).getOrElse(0) + 1
+    // When the plan was derived FROM an existing generation (compaction),
+    // claim exactly base+1 — claimGeneration's under-lock CURRENT re-read
+    // then fails fast if a concurrent update committed after the manifest
+    // was read. Claiming CURRENT+1 here instead would silently discard
+    // that interleaved commit (lost update: the compacted store would be
+    // built from stale metadata). Fresh builds have no base to go stale.
+    val gen = basedOnGen match {
+      case Some(base) => base + 1
+      case None => graft.io.SketchStore
+        .currentGeneration(conf.value, dir).getOrElse(0) + 1
+    }
     graft.io.SketchStore.claimGeneration(conf.value, dir, gen)
     graft.io.SketchStore.releaseClaimOnFailure(conf.value, dir, gen) {
     val shardDir = graft.io.SketchStore.shardDirOf(dir, gen)
@@ -1051,7 +1063,10 @@ object SketchBuild {
     val gens1 = Array.tabulate(nGroupsNew) { g =>
       if (rewritten(g)) gen
       else if (g < gens0.length) gens0(g)
-      else gen // appended group with no delta rows: no blob; reads tolerate
+      // appended group with no delta rows: no blob on disk — the sentinel
+      // says so explicitly, so readers probe it as empty instead of
+      // mistaking it for a lost blob (which fails fast)
+      else graft.io.SketchStore.NoBlobGen
     }
 
     // 4. coarse: re-stride to the (possibly wider) new group count, OR in
@@ -1115,8 +1130,17 @@ object SketchBuild {
    */
   def compactStored(spark: SparkSession, dir: String, df: DataFrame,
       targetCol: String, contentCol: String,
+      persistShingles: Boolean = false): LazyTwoLevelDb =
+    compactStoredFrom(spark, dir, df, targetCol, contentCol,
+      graft.io.SketchStore.readManifest(spark, dir), persistShingles)
+
+  /** [[compactStored]] body, split at the manifest read so the
+    * stale-manifest race (an update committing between the read and the
+    * generation claim) is deterministically testable. */
+  private[graft] def compactStoredFrom(spark: SparkSession, dir: String,
+      df: DataFrame, targetCol: String, contentCol: String,
+      m: graft.io.SketchStore.Manifest,
       persistShingles: Boolean = false): LazyTwoLevelDb = {
-    val m = graft.io.SketchStore.readManifest(spark, dir)
     require(m.layoutKind == "two", s"not a two-level store: ${m.layoutKind}")
     val p = m.params
     // fresh plan from the manifest's survivor cardinalities: holes gone,
@@ -1133,7 +1157,8 @@ object SketchBuild {
       (cards(i)._1, layout.base(i), layout.split(i)))
     val binsDf = shardPass(spark, hashed, thePlan, entries,
       layout.numGroups, coarseBits, coarseH, twoLevel = true)
-    storeGeneration(spark, dir, p, cards, thePlan, layout, binsDf, cleanup)
+    storeGeneration(spark, dir, p, cards, thePlan, layout, binsDf, cleanup,
+      basedOnGen = Some(m.generation))
   }
 
   /** Copy an interleaved filter into a wider bin space (same bitsPerBin,

@@ -318,10 +318,14 @@ object SketchStore {
       val hc = new graft.build.SerializableHadoopConf(conf)
       spark.sparkContext.parallelize(0 until nG,
           math.min(nG, spark.sparkContext.defaultParallelism)).foreach { g =>
-        val c = hc.value
-        val src = new Path(s"$srcDir/shards_v${srcGens(g)}/grp_$g.bin")
-        val srcFs = src.getFileSystem(c)
-        if (srcFs.exists(src)) { // groups that routed zero hashes have no blob
+        if (srcGens(g) != NoBlobGen) { // sentinel: legitimately blob-less
+          val c = hc.value
+          val src = new Path(s"$srcDir/shards_v${srcGens(g)}/grp_$g.bin")
+          val srcFs = src.getFileSystem(c)
+          if (!srcFs.exists(src))
+            throw new IllegalStateException(
+              s"shard blob $src missing during snapshot export — the " +
+                "handle's generation was gc'd underneath it")
           val dest = new Path(s"$sd/grp_$g.bin")
           val destFs = dest.getFileSystem(c)
           val tmp =
@@ -334,19 +338,37 @@ object SketchStore {
             srcFs.getFileStatus(src).getLen)
         }
       }
+      // blob-less groups keep their sentinel in the exported manifest —
+      // pointing them at the new generation would read as "blob lost"
       writeManifest(spark, db, "two", db.coarse.toBytes, destDir, gen,
-        Array.fill(nG)(gen))
+        Array.tabulate(nG)(g =>
+          if (db.shardGens(g) == NoBlobGen) NoBlobGen else gen))
     }
   }
 
-  /** Read group g's blob through its generation pointer; None if the group
-    * has no file (a group whose targets routed zero hashes — never probed
-    * thanks to coarse pruning). Streams into the word array in chunks, so
-    * blobs past 2 GB (plausible per-group at the reference's 300-500 GB
-    * database scale) never need one giant byte[]. */
+  /** Per-group generation-pointer sentinel: the group LEGITIMATELY has no
+    * blob (an updateStored-appended group that received zero delta
+    * hashes). Distinguishes "probe as all-empty bins" from a blob that
+    * SHOULD exist but is gone (superseded generation gc'd under a pinned
+    * handle, or store corruption) — the latter must fail fast, never
+    * silently classify as if the group were empty. */
+  private[graft] final val NoBlobGen = -1
+
+  /** Read group g's blob through its generation pointer. None ONLY for
+    * the [[NoBlobGen]] sentinel (legitimately blob-less group); a missing
+    * file under a real pointer THROWS — serving empty bins there would
+    * silently drop every match the group held. Streams into the word
+    * array in chunks, so blobs past 2 GB (plausible per-group at the
+    * reference's 300-500 GB database scale) never need one giant byte[]. */
   private[graft] def readShardBlob(conf: Configuration, dir: String,
       shardGens: Array[Int], g: Int): Option[InterleavedBloom] =
-    readShardBlobAt(conf, shardDirOf(dir, shardGens(g)), g)
+    if (shardGens(g) == NoBlobGen) None
+    else Some(readShardBlobAt(conf, shardDirOf(dir, shardGens(g)), g)
+      .getOrElse(throw new IllegalStateException(
+        s"shard blob grp_$g.bin missing at generation ${shardGens(g)} " +
+          s"under $dir — a superseded generation was gc'd while a handle " +
+          "was still pinned to it (raise gcGenerations keepGens), or the " +
+          "store is corrupt")))
 
   /** JVM-wide count of shard-blob fetches (observability: in local mode
     * it proves cache-warmth claims — e.g. a live-store stream reusing one
@@ -458,6 +480,7 @@ object SketchStore {
       case "two" =>
         val conf = spark.sparkContext.hadoopConfiguration
         val shards = Array.tabulate(m.layout.numGroups) { g =>
+          // None only for the NoBlobGen sentinel; a lost blob throws
           readShardBlob(conf, dir, m.shardGens, g).getOrElse {
             val nLocal = math.min(64, m.layout.numBins - g * 64)
             InterleavedBloom.empty(nLocal, m.plan.bitsPerBin, m.plan.numHashes)
@@ -471,6 +494,22 @@ object SketchStore {
 
   def load(spark: SparkSession, dir: String): SketchDb =
     loadAny(spark, dir).asInstanceOf[SketchDb]
+
+  /** Load for PROBING at scale: a two-level store comes back as the lazy
+    * handle (driver/broadcast footprint = coarse + metadata; shards fetch
+    * per executor on demand) — [[loadAny]] would materialize every blob
+    * on the driver, which at a 300+ GB store is an OOM, not a load. Flat
+    * stores load eagerly as before (they fit by construction). */
+  def loadForProbe(spark: SparkSession, dir: String): graft.build.ProbeDb = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gen = currentGeneration(conf, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not a sketch store (no CURRENT pointer)"))
+    val gd = genDir(dir, gen)
+    val kind = spark.read.parquet(s"$gd/manifest.parquet")
+      .select("layout").head().getString(0)
+    if (kind == "two") loadTwoLevelLazy(spark, dir) else loadAny(spark, dir)
+  }
 
   // ---- GC ------------------------------------------------------------------
 

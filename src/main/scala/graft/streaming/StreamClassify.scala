@@ -145,7 +145,11 @@ object StreamClassify {
         .getOrElse(throw new IllegalStateException(
           s"$storeDir has no committed generation"))
       if (cur != gen) {
-        val db = graft.io.SketchStore.loadAny(spark, storeDir)
+        // loadForProbe: a two-level store rotates in as the LAZY handle
+        // (coarse + metadata broadcast; shards fetch per executor) — an
+        // eager load would pull the whole store through the driver at
+        // every rotation
+        val db = graft.io.SketchStore.loadForProbe(spark, storeDir)
         val old = dbB
         dbB = spark.sparkContext.broadcast(db)
         gen = cur
@@ -201,18 +205,6 @@ object StreamClassify {
       } finally { b.unpersist(); () }
     }
 
-  /**
-   * Per-target RUNNING distinct-shingle estimate via custom streaming
-   * state (`KeyValueGroupedDataset.mapGroupsWithState`): the group state
-   * is a serialized mergeable HLL; each micro-batch folds its rows'
-   * shingle hashes in and emits the updated (target, estimate, n_reads).
-   * Because the sketch is merge-associative, the running estimate is
-   * independent of micro-batch boundaries — the streaming answer over any
-   * prefix equals the batch answer over the same rows, and checkpoint
-   * resume reconstructs it exactly. State size is 2^p bytes per target,
-   * independent of stream length (the reason a sketch, not a set, is the
-   * right streaming state at 10^12 files). Use with outputMode("update").
-   */
   /**
    * Per-group RUNNING quantile estimate (KLL as `mapGroupsWithState`
    * state) — the quantile twin of [[runningDistinct]], covering the north
@@ -289,6 +281,18 @@ object StreamClassify {
       }
   }
 
+  /**
+   * Per-target RUNNING distinct-shingle estimate via custom streaming
+   * state (`KeyValueGroupedDataset.mapGroupsWithState`): the group state
+   * is a serialized mergeable HLL; each micro-batch folds its rows'
+   * shingle hashes in and emits the updated (target, estimate, n_reads).
+   * Because the sketch is merge-associative, the running estimate is
+   * independent of micro-batch boundaries — the streaming answer over any
+   * prefix equals the batch answer over the same rows, and checkpoint
+   * resume reconstructs it exactly. State size is 2^p bytes per target,
+   * independent of stream length (the reason a sketch, not a set, is the
+   * right streaming state at 10^12 files). Use with outputMode("update").
+   */
   def runningDistinct(spark: SparkSession, stream: DataFrame,
       targetCol: String, contentCol: String, k: Int, w: Int, p: Int = 14,
       seed: Long = Hashing.DefaultSeed): Dataset[(String, Long, Long)] = {

@@ -216,12 +216,15 @@ class BuildToStoreSpec extends AnyFunSuite {
       src, p)
     val nG = built.layout.numGroups
     assume(nG >= 2)
-    // simulate a source whose last group routed zero hashes: such groups
-    // have no blob file and the export SKIPS them — the path a leftover
-    // blob from a dead attempt could previously slip through
+    // simulate a source whose last group legitimately has no blob (an
+    // updateStored-appended group that routed zero hashes): the NoBlobGen
+    // sentinel marks it, the export SKIPS it — the path a leftover blob
+    // from a dead attempt could previously slip through. (A missing file
+    // WITHOUT the sentinel is corruption and now fails fast instead.)
     val victim = nG - 1
     assert(new java.io.File(s"$src/shards_v1/grp_$victim.bin").delete())
     val handle = graft.io.SketchStore.loadTwoLevelLazy(spark, src)
+    handle.shardGens(victim) = graft.io.SketchStore.NoBlobGen
     // a crashed earlier export into destDir left a junk blob at the SAME
     // generation this retry will claim (the crash released its lock)
     val dest = freshDir("exp_dst")
@@ -267,6 +270,68 @@ class BuildToStoreSpec extends AnyFunSuite {
       docs.filter(col("repo") =!= repos.last), "repo", "content", p)
     assert(matches(graft.io.SketchStore.loadTwoLevelLazy(spark, dir), docs)
       == matches(fresh, docs))
+    docs.unpersist()
+  }
+
+  test("compaction lost-update race: a compaction planned from a stale " +
+      "manifest fails at the claim instead of discarding the newer commit") {
+    val docs = graft.synth.Corpus.df(spark, 150, numRepos = 8, partitions = 2)
+      .cache()
+    val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
+    val dir = freshDir("compactrace")
+    SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
+    // compaction reads the manifest (generation 1) and starts planning...
+    val stale = graft.io.SketchStore.readManifest(spark, dir)
+    assert(stale.generation == 1)
+    // ...a concurrent update commits generation 2 in the window...
+    val rm = docs.select("repo").distinct().orderBy("repo")
+      .first().getString(0)
+    SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(rm))
+    // ...so the stale-planned compaction MUST refuse (it would otherwise
+    // commit a store rebuilt from gen-1 metadata, resurrecting rm and
+    // silently discarding gen 2)
+    val e = intercept[IllegalStateException] {
+      SketchBuild.compactStoredFrom(spark, dir, docs, "repo", "content",
+        stale)
+    }
+    assert(e.getMessage.contains("advanced"))
+    // the store is untouched: CURRENT still 2, a fresh compaction works
+    val hconf = spark.sparkContext.hadoopConfiguration
+    assert(graft.io.SketchStore.currentGeneration(hconf, dir).contains(2))
+    val compacted = SketchBuild.compactStored(spark, dir,
+      docs.filter(col("repo") =!= rm), "repo", "content")
+    assert(compacted.generation == 3)
+    docs.unpersist()
+  }
+
+  test("a gc'd pinned generation fails fast on probe instead of silently " +
+      "serving empty bins") {
+    val docs = graft.synth.Corpus.df(spark, 600, numRepos = 60, partitions = 4)
+      .cache()
+    val repos = docs.select("repo").distinct().orderBy("repo")
+      .collect().map(_.getString(0))
+    val p = IbfParams(k = 19, w = 31, maxFp = 1e-4)
+    val dir = freshDir("gcpinned")
+    SketchBuild.buildToStore(spark, docs, "repo", "content", dir, p)
+    val pinned = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
+    // two updates rewrite groups; keepGens=1 then deletes gen-1 blobs that
+    // were superseded — exactly what the pinned handle still points at
+    SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(repos.last))
+    SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq(repos.init.last))
+    graft.io.SketchStore.gcGenerations(spark, dir, 1)
+    val e = intercept[Exception] {
+      matches(pinned, docs)
+    }
+    // Spark wraps the executor-side IllegalStateException; the root cause
+    // message must say what happened and name the remedy
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("gc'd while a handle")),
+      s"expected the gc'd-generation diagnostic, got: ${messages(e)}")
     docs.unpersist()
   }
 
