@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run ONE SparkEntry query against an SF dir and print its row
+  * count plus whether every row's `ok` column (the invariant-oracle
+  * convention) holds — the fast inner loop while authoring a driver row,
+  * without the full `graft.Verify` sweep.
+  * Usage: runMain graft.RunOne /root/testdata/sf0.001 q69_stream_live */
 object RunOne {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, name) = args
@@ -10,6 +16,7 @@ object RunOne {
     val df = SparkEntry.queries(name)(spark, sfDir)
     val rows = df.collect()
     println(s"ROWS=${rows.length}")
-    println(s"ALL_OK=${rows.forall(r => r.getAs[Boolean]("ok"))}")
+    val okIdx = df.schema.fieldNames.indexOf("ok")
+    if (okIdx >= 0) println(s"ALL_OK=${rows.forall(_.getBoolean(okIdx))}")
   }
 }
