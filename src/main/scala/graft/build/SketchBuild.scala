@@ -303,6 +303,13 @@ final class LazyTwoLevelDb(
   @transient private lazy val resident =
     new java.util.concurrent.atomic.AtomicLong()
 
+  // recency stamps exist only to pick eviction victims; with an unbounded
+  // cache (the default) nothing ever evicts, so skip the per-(read, group)
+  // accessClock.incrementAndGet on the probe hot path entirely — a full
+  // RMW on one shared cache line across all probe threads is real money
+  // at millions of probes/second on a wide executor
+  private val lruBounded = maxCacheBytes != Long.MaxValue
+
   private def shard(g: Int): InterleavedBloom = {
     var s = shardCache.get(g)
     if (s == null) {
@@ -313,7 +320,7 @@ final class LazyTwoLevelDb(
       // subtraction can never precede this addition (that ordering would
       // leave `resident` permanently overcounting an evicted shard and
       // degrade the cache toward per-probe refetches)
-      lastAccess.lazySet(g, accessClock.incrementAndGet())
+      if (lruBounded) lastAccess.lazySet(g, accessClock.incrementAndGet())
       resident.addAndGet(s.sizeBytes)
       if (shardCache.compareAndSet(g, null, s)) {
         if (resident.get() > maxCacheBytes) evictLru(keep = g)
@@ -323,7 +330,7 @@ final class LazyTwoLevelDb(
         resident.addAndGet(-s.sizeBytes)
       }
     }
-    lastAccess.lazySet(g, accessClock.incrementAndGet())
+    if (lruBounded) lastAccess.lazySet(g, accessClock.incrementAndGet())
     s
   }
 
@@ -1056,12 +1063,21 @@ object SketchBuild {
       }
     }
 
-    // 3. per-group generation pointers: rewritten groups -> the new
-    //    generation; untouched groups keep pointing at their old blobs
+    // 3. per-group generation pointers: groups whose blob was WRITTEN this
+    //    generation point at it; untouched groups keep their old pointers
     //    (the O(delta) property — nothing is copied or hard-linked)
-    val rewritten = touchedSet ++ removalOnly
+    val removalOnlySet = removalOnly.toSet
     val gens1 = Array.tabulate(nGroupsNew) { g =>
-      if (rewritten(g)) gen
+      if (touchedSet(g)) gen // delta pass always writes these blobs
+      else if (removalOnlySet(g))
+        // the removal-only pass writes a blob ONLY if the old pointer had
+        // one (readShardBlob's Option is empty for the sentinel) — a
+        // sentinel group must KEEP its sentinel, or the pointer would name
+        // a blob that was never written and every later read fails fast
+        // with a bogus "gc'd or corrupt" diagnosis
+        (if (gens0(g) == graft.io.SketchStore.NoBlobGen)
+          graft.io.SketchStore.NoBlobGen
+        else gen)
       else if (g < gens0.length) gens0(g)
       // appended group with no delta rows: no blob on disk — the sentinel
       // says so explicitly, so readers probe it as empty instead of

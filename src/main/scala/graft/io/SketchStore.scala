@@ -424,6 +424,11 @@ object SketchStore {
   def loadTwoLevelLazy(spark: SparkSession, dir: String): LazyTwoLevelDb = {
     val m = readManifest(spark, dir)
     require(m.layoutKind == "two", s"not a two-level store: ${m.layoutKind}")
+    lazyFromManifest(spark, dir, m)
+  }
+
+  private def lazyFromManifest(spark: SparkSession, dir: String,
+      m: Manifest): LazyTwoLevelDb = {
     val maxCache = spark.conf.getOption("spark.graft.shard.cache.bytes")
       .map(_.toLong).getOrElse(Long.MaxValue)
     new LazyTwoLevelDb(InterleavedBloom.fromBytes(m.ibfBytes), m.targets,
@@ -439,11 +444,21 @@ object SketchStore {
 
   private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val gen = currentGeneration(conf, dir).getOrElse(
+    val gen = currentGeneration(conf, dir).getOrElse {
+      // a ROOT-level manifest without CURRENT is a store from a pre-
+      // generation format version, not an empty dir — say so instead of
+      // the misleading "nothing was ever committed"
+      if (new Path(s"$dir/manifest.parquet").getFileSystem(conf)
+          .exists(new Path(s"$dir/manifest.parquet")))
+        throw new IllegalStateException(
+          s"$dir holds a store in a pre-generation format (manifest at " +
+            s"the dir root, no CURRENT pointer) — unsupported by format " +
+            s"version $FormatVersion; rebuild it with the current code")
       throw new IllegalStateException(
         s"$dir is not a sketch store (no CURRENT pointer) — nothing was " +
           "ever committed here, or the build crashed before its first " +
-          "commit; rebuild it"))
+          "commit; rebuild it")
+    }
     val gd = genDir(dir, gen)
     val m = spark.read.parquet(s"$gd/manifest.parquet").head()
     val version = m.getAs[Int]("version")
@@ -471,8 +486,11 @@ object SketchStore {
   }
 
   /** Load either layout, dispatching on the manifest. */
-  def loadAny(spark: SparkSession, dir: String): ProbeDb = {
-    val m = readManifest(spark, dir)
+  def loadAny(spark: SparkSession, dir: String): ProbeDb =
+    eagerFromManifest(spark, dir, readManifest(spark, dir))
+
+  private def eagerFromManifest(spark: SparkSession, dir: String,
+      m: Manifest): ProbeDb = {
     val blob = InterleavedBloom.fromBytes(m.ibfBytes)
     m.layoutKind match {
       case "flat" =>
@@ -501,14 +519,9 @@ object SketchStore {
     * on the driver, which at a 300+ GB store is an OOM, not a load. Flat
     * stores load eagerly as before (they fit by construction). */
   def loadForProbe(spark: SparkSession, dir: String): graft.build.ProbeDb = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val gen = currentGeneration(conf, dir).getOrElse(
-      throw new IllegalStateException(
-        s"$dir is not a sketch store (no CURRENT pointer)"))
-    val gd = genDir(dir, gen)
-    val kind = spark.read.parquet(s"$gd/manifest.parquet")
-      .select("layout").head().getString(0)
-    if (kind == "two") loadTwoLevelLazy(spark, dir) else loadAny(spark, dir)
+    val m = readManifest(spark, dir) // ONE manifest read, then dispatch
+    if (m.layoutKind == "two") lazyFromManifest(spark, dir, m)
+    else eagerFromManifest(spark, dir, m)
   }
 
   // ---- GC ------------------------------------------------------------------

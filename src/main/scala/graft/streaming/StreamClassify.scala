@@ -221,11 +221,14 @@ object StreamClassify {
     import spark.implicits._
     val quantiles = qs.clone()
     stream
-      // null values would NPE the primitive-Double encoder; a null carries
-      // no rank information, so dropping matches the batch sketches
-      .filter(col(valueCol).isNotNull)
+      // try_cast + null guard: nulls and malformed values (e.g. a
+      // non-numeric string, which ANSI cast would turn into a
+      // stream-killing exception) drop out instead of NPE-ing the
+      // primitive-Double encoder; a valueless row carries no rank
+      // information, so dropping matches the batch sketches
       .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
+        col(valueCol).try_cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Array[Byte], Long), (String, Array[Double], Long)](

@@ -335,6 +335,43 @@ class BuildToStoreSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("removing a target from a sentinel (blob-less) group keeps the " +
+      "sentinel — the pointer never names a blob that was never written") {
+    import spark.implicits._
+    // 64 single-bin targets fill group 0 exactly, so the appended target's
+    // bin opens group 1; its content is empty (zero hashes), so group 1
+    // commits with the NoBlobGen sentinel
+    val docs = graft.synth.Corpus.df(spark, 256, numRepos = 64,
+      partitions = 4).cache()
+    val p = IbfParams(k = 19, w = 31, maxFp = 0.01)
+    val dir = freshDir("sentinelrm")
+    val built = SketchBuild.buildToStore(spark, docs, "repo", "content",
+      dir, p)
+    assume(built.layout.numBins == 64, "need exactly one full group")
+    val upd = SketchBuild.updateStored(spark, dir,
+      Seq(("zempty", "p", "")).toDF("repo", "path", "content"),
+      "repo", "content")
+    assert(upd.layout.numGroups == 2)
+    assert(upd.shardGens(1) == graft.io.SketchStore.NoBlobGen,
+      "appended zero-hash group must carry the sentinel")
+    // removal-only update touching ONLY the sentinel group: no blob is
+    // written for it, so the committed pointer must stay the sentinel
+    val rm = SketchBuild.updateStored(spark, dir, null, "repo", "content",
+      removeTargets = Seq("zempty"))
+    assert(rm.shardGens(1) == graft.io.SketchStore.NoBlobGen,
+      "removal-only pass writes no blob for a sentinel group")
+    // every read path still works: eager load, lazy probe, export
+    val eager = graft.io.SketchStore.loadAny(spark, dir)
+    val fresh = SketchBuild.build(spark, docs, "repo", "content", p)
+    assert(matches(eager, docs) == matches(fresh, docs))
+    val dest = freshDir("sentinelrm_exp")
+    graft.io.SketchStore.exportSnapshot(spark,
+      graft.io.SketchStore.loadTwoLevelLazy(spark, dir), dest)
+    assert(matches(graft.io.SketchStore.loadTwoLevelLazy(spark, dest), docs)
+      == matches(fresh, docs))
+    docs.unpersist()
+  }
+
   test("compactStored: cycles then compact == fresh; holes squeezed, " +
       "coarse shrinks") {
     val docs = graft.synth.Corpus.df(spark, 1000, numRepos = 150, partitions = 8)

@@ -105,6 +105,33 @@ class StoreStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("running quantiles: values that cast to null are dropped, not " +
+      "a stream-killing NPE") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)] // string-typed value column
+    val out = StreamClassify.runningQuantiles(spark,
+        ms.toDF().toDF("g", "v"), "g", "v", Array(0.5))
+      .toDF("g", "est", "n")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("graft_rq_null").start()
+    ms.addData(("a", "1.0"), ("a", "n/a"), ("a", "3.0"), ("a", null))
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("graft_rq_null").orderBy(desc("n")).head()
+    assert(fin.getAs[Long]("n") == 2L) // only the two numeric rows counted
+  }
+
+  test("legacy root-manifest store gets a format-upgrade error, not " +
+      "\"nothing was ever committed\"") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/manifest.parquet"))
+    val e = intercept[IllegalStateException] {
+      SketchStore.loadAny(spark, dir)
+    }
+    assert(e.getMessage.contains("pre-generation format"))
+  }
+
   test("streaming state: running CMS frequencies carry the eps*N " +
       "overestimate-only bound across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
