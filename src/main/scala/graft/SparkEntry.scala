@@ -1500,6 +1500,16 @@ object SparkEntry {
           storeDir, p, gcKeepGens = Some(2)).start()
       batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
       q.stop()
+      // FORCED CRASH-REPLAY: simulate a crash between the last batch's
+      // store commit and the stream's checkpoint commit — on restart the
+      // batch re-runs verbatim. The store's own commit log must skip it;
+      // before exactly-once, this replay double-appended the batch's new
+      // targets and the equivalence check below failed
+      val replayed = graft.streaming.StreamClassify.ingestBatch(s,
+        batches.last.toSeq.toDF("source", "doc_id", "text"), "source",
+        "text", storeDir, p, gcKeepGens = Some(2),
+        batchId = (batches.length - 1).toLong)
+      require(!replayed, "crash-replayed micro-batch must be a no-op")
       val cp = ClassifyParams(relCutoff = 1.0, fprQuery = 1.0)
       def ans(db: graft.build.ProbeDb) = Classify.allMatches(
         Classify.classify(s, docs, "doc_id", "text", db, cp))
@@ -1521,13 +1531,20 @@ object SparkEntry {
       // pair has identical token multisets => identical simhash => hamming 0
       // => shares all four 16-bit blocks, so it MUST be emitted; the output
       // is restricted to exactly those pairs so the oracle can enumerate
-      // them with a self-join on text
-      val docs = t(s, dir, "documents")
-      val sets = docs.select(col("doc_id").cast("long").as("id"),
+      // them with a self-join on text. Exact duplicates are PLANTED (every
+      // 5th doc re-appears under id+10^7, as q48 plants embedding dups) so
+      // the guarantee is asserted by >0 pairs at EVERY SF — the sf0.1
+      // corpus has no natural exact-duplicate texts, and a green row over
+      // 0 rows asserts nothing
+      val offset = 10000000L
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val docs = docs0.unionByName(docs0.filter(col("id") % 5 === 0)
+        .select((col("id") + offset).as("id"), col("text")))
+      val sets = docs.select(col("id"),
         GraftFunctions.tokenHashes(col("text")).as("hs"))
       val pairs = Dedup.simhashPairs(s, sets, maxHamming = 3)
-      val byText = docs.select(col("doc_id").cast("long").as("id"),
-        sha2(col("text"), 256).as("h"))
+      val byText = docs.select(col("id"), sha2(col("text"), 256).as("h"))
       val exactPairs = byText.as("a").join(byText.as("b"),
           col("a.h") === col("b.h") && col("a.id") < col("b.id"))
         .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -2157,10 +2174,14 @@ object SparkEntry {
         |FROM tot""".stripMargin,
 
     "q45_simhash_pairs" ->
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS found
-        |FROM documents a
-        |JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id"""
-        .stripMargin,
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 10000000, text FROM documents
+        |  WHERE doc_id % 5 = 0)
+        |SELECT a.id AS doc_a, b.id AS doc_b, true AS found
+        |FROM corpus a
+        |JOIN corpus b ON a.text = b.text AND a.id < b.id""".stripMargin,
 
     "q46_stream_state" ->
       """SELECT event_type AS target, COUNT(*) AS n_rows, true AS ok

@@ -130,18 +130,21 @@ object Ganon {
 
   /** Continuous ingest: ganon build/update driven by a stream — first
     * non-empty batch creates the store, later ones commit O(batch)
-    * update generations (see
-    * [[graft.streaming.StreamClassify.ingestForeachBatch]] for the
-    * exactly-once and GC contract). The write-side twin of
-    * [[classifyLiveStore]]. */
+    * update generations. EXACTLY-ONCE: each commit records its
+    * (ingestId, batchId) atomically with the generation, so a
+    * crash-replayed micro-batch is skipped instead of double-appending
+    * (see [[graft.streaming.StreamClassify.ingestForeachBatch]] for the
+    * full contract — give each logical stream/checkpoint its own
+    * `ingestId`, and keep gcKeepGens >= 2 when a live reader shares the
+    * store). The write-side twin of [[classifyLiveStore]]. */
   def ingestStream(spark: SparkSession, stream: DataFrame,
       targetCol: String, contentCol: String, storeDir: String,
       params: graft.build.IbfParams = graft.build.IbfParams(),
-      gcKeepGens: Option[Int] = None)
+      gcKeepGens: Option[Int] = None, ingestId: String = "ingest")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     graft.streaming.StreamClassify.ingestForeachBatch(spark, stream,
-      targetCol, contentCol, storeDir, params, gcKeepGens)
+      targetCol, contentCol, storeDir, params, gcKeepGens, ingestId)
 
   /** Persist a db. For the in-memory layouts this writes a new store; for
     * a store-backed [[graft.build.LazyTwoLevelDb]] handle it EXPORTS the

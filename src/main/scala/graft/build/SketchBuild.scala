@@ -639,11 +639,13 @@ object SketchBuild {
   def buildToStore(spark: SparkSession, df: DataFrame, targetCol: String,
       contentCol: String, dir: String, p: IbfParams = IbfParams(),
       checkpointDir: Option[String] = None,
-      persistShingles: Boolean = false): LazyTwoLevelDb = {
+      persistShingles: Boolean = false,
+      commitTag: Option[(String, Long)] = None): LazyTwoLevelDb = {
     val (cards, thePlan, layout, binsDf, cleanup) =
       planAndShard(spark, df, targetCol, contentCol, p, checkpointDir,
         twoLevel = true, persistShingles)
-    storeGeneration(spark, dir, p, cards, thePlan, layout, binsDf, cleanup)
+    storeGeneration(spark, dir, p, cards, thePlan, layout, binsDf, cleanup,
+      commitTag = commitTag)
   }
 
   /** The executor-blob-writing tail shared by [[buildToStore]] and
@@ -653,12 +655,11 @@ object SketchBuild {
   private def storeGeneration(spark: SparkSession, dir: String, p: IbfParams,
       cards: Seq[(String, Long)], thePlan: IbfPlan, layout: BinLayout,
       binsDf: DataFrame, cleanup: () => Unit,
-      basedOnGen: Option[Int] = None): LazyTwoLevelDb = {
+      basedOnGen: Option[Int] = None,
+      commitTag: Option[(String, Long)] = None): LazyTwoLevelDb = {
     import spark.implicits._
     val numBins = layout.numBins
     val nGroups = layout.numGroups
-    val bitsPerBin = thePlan.bitsPerBin
-    val numHashes = thePlan.numHashes
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     // When the plan was derived FROM an existing generation (compaction),
     // claim exactly base+1 — claimGeneration's under-lock CURRENT re-read
@@ -692,25 +693,25 @@ object SketchBuild {
         }
       }.collect()
     cleanup()
-    // empty blobs for untouched groups (all-empty/filtered content): coarse
-    // pruning never fetches them, but the eager loadAny path reads each
+    // untouched groups (all content empty/filtered) get the NoBlobGen
+    // sentinel: readers probe them as all-empty bins (both the lazy and
+    // eager loaders special-case the sentinel), so NO blob is written —
+    // the old driver-serial empty-blob loop was one filesystem round-trip
+    // per untouched group, 100k round-trips on a sparse 100k-group store
     val present = coarseRows.map(_._1).toSet
-    (0 until nGroups).filterNot(present).foreach { g =>
-      val nLocal = math.min(64, numBins - g * 64)
-      graft.io.SketchStore.writeShardBlob(conf.value, shardDir, g,
-        InterleavedBloom.empty(nLocal, bitsPerBin, numHashes).toBytes)
-    }
+    val shardGens = Array.tabulate(nGroups)(g =>
+      if (present(g)) gen else graft.io.SketchStore.NoBlobGen)
     val coarse =
       if (coarseRows.nonEmpty)
         InterleavedBloom.fromBins(
           coarseRows.toSeq.map { case (g, cb) => (g, Bloom.fromBytes(cb)) },
           nGroups)
       else InterleavedBloom.empty(nGroups, 64L, 1)
-    val shardGens = Array.fill(nGroups)(gen)
     val db = new LazyTwoLevelDb(coarse, cards.map(_._1).toArray,
-      cards.map(_._2).toArray, layout, p, thePlan, dir, gen, shardGens, conf)
+      cards.map(_._2).toArray, layout, p, thePlan, dir, gen, shardGens, conf,
+      graft.io.SketchStore.configuredCacheBytes(spark))
     graft.io.SketchStore.writeManifest(spark, db, "two", coarse.toBytes, dir,
-      gen, shardGens)
+      gen, shardGens, commitTag)
     db
     } // releaseClaimOnFailure
   }
@@ -916,7 +917,8 @@ object SketchBuild {
   def updateStored(spark: SparkSession, dir: String, addDf: DataFrame,
       targetCol: String, contentCol: String,
       removeTargets: Seq[String] = Nil,
-      persistShingles: Boolean = false): LazyTwoLevelDb = {
+      persistShingles: Boolean = false,
+      commitTag: Option[(String, Long)] = None): LazyTwoLevelDb = {
     import spark.implicits._
     val db0 = graft.io.SketchStore.loadTwoLevelLazy(spark, dir)
     val p = db0.params
@@ -1062,6 +1064,10 @@ object SketchBuild {
           }
       }
     }
+    // both consumers of the mask (the delta pass, collected above, and the
+    // removal-only pass) have completed — destroy the broadcast now rather
+    // than leaking one per update on a long-lived session
+    maskB.destroy()
 
     // 3. per-group generation pointers: groups whose blob was WRITTEN this
     //    generation point at it; untouched groups keep their old pointers
@@ -1098,9 +1104,10 @@ object SketchBuild {
       db0.plan.numHashes)
     val db = new LazyTwoLevelDb(coarseNew, targets, counts, layout, p,
       db0.plan.copy(numBins = nextBin, expectedMaxFp = maxFpReal),
-      dir, gen, gens1, conf)
+      dir, gen, gens1, conf,
+      graft.io.SketchStore.configuredCacheBytes(spark))
     graft.io.SketchStore.writeManifest(spark, db, "two", coarseNew.toBytes,
-      dir, gen, gens1)
+      dir, gen, gens1, commitTag)
     db
     } // releaseClaimOnFailure
   }

@@ -114,9 +114,19 @@ object Classify {
       dbB: org.apache.spark.broadcast.Broadcast[ProbeDb],
       cp: ClassifyParams, lcaOpt: Option[Lca]): Dataset[ReadResult] = {
     import spark.implicits._
-    val lcaB = spark.sparkContext.broadcast(lcaOpt)
+    // no LCA (every streaming live-store batch, most batch calls): nothing
+    // to broadcast — a per-call broadcast of None would leak one handle
+    // per micro-batch on a long-lived stream, since the result is lazy and
+    // the broadcast can only be destroyed when the result is dead. With an
+    // LCA the broadcast is real (Euler/RMQ arrays) and lives exactly as
+    // long as the returned Dataset — one per classify() call, not per
+    // batch, because the cascade paths reuse the level's Dataset.
+    val lcaB =
+      if (lcaOpt.isEmpty) null
+      else spark.sparkContext.broadcast(lcaOpt.get)
     hashed.mapPartitions { iter =>
-      val one = rowClassifier(dbB.value, lcaB.value, cp)
+      val one = rowClassifier(dbB.value,
+        if (lcaB == null) None else Some(lcaB.value), cp)
       iter.map { case (id, len, hs) => one(id, len, hs) }
     }
   }

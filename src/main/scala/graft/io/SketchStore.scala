@@ -187,10 +187,15 @@ object SketchStore {
     * an overwrite of live metadata), then COMMIT by flipping CURRENT and
     * release the writer lock. `shardGens(g)` = generation owning group g's
     * blob (empty for flat layouts, which keep the whole filter in the
-    * manifest row). */
+    * manifest row). `ingestTag` = (ingestId, batchId) of the STREAM batch
+    * this generation applies, written as a marker INSIDE the gen dir
+    * before the CURRENT flip — so the ingest commit record and the data
+    * become visible in the same atomic step (the store is its own commit
+    * log; see [[lastIngestCommit]]). */
   private[graft] def writeManifest(spark: SparkSession, db: SplitBinDb,
       layout: String, ibfBytes: Array[Byte], dir: String, gen: Int,
-      shardGens: Array[Int]): Unit = {
+      shardGens: Array[Int],
+      ingestTag: Option[(String, Long)] = None): Unit = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val gd = genDir(dir, gen)
@@ -207,9 +212,67 @@ object SketchStore {
         "num_hashes", "max_hashes_bin", "num_bins", "shard_gens", "ibf")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$gd/manifest.parquet")
+    writeIngestMarker(conf, dir, gen, ingestTag)
     commitCurrent(conf, dir, gen)
     releaseLock(conf, dir, gen)
   }
+
+  // ---- ingest commit log -----------------------------------------------------
+
+  private def ingestMarkerPath(dir: String, gen: Int) =
+    new Path(s"${genDir(dir, gen)}/INGEST_COMMIT")
+
+  /** Write (or carry forward) the ingest-commit marker for `gen`. Runs
+    * BEFORE the CURRENT flip, so the marker is atomic with the generation
+    * it describes: a crash between a store commit and the stream's own
+    * checkpoint commit leaves a marker the replayed batch will see. A
+    * non-ingest commit (manual update/compact/rebuild interleaved with an
+    * ingest stream) COPIES the previous generation's marker forward, so
+    * `gen_<CURRENT>/` always holds the latest applied batch even when
+    * ingest generations have been gc'd. */
+  private def writeIngestMarker(conf: Configuration, dir: String, gen: Int,
+      tag: Option[(String, Long)]): Unit = {
+    val dest = ingestMarkerPath(dir, gen)
+    val fs = dest.getFileSystem(conf)
+    tag match {
+      case Some((id, batch)) =>
+        require(!id.contains('\t') && !id.contains('\n'),
+          s"ingest id must not contain tab/newline: $id")
+        val out = fs.create(dest, true)
+        try out.write(s"$id\t$batch".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      case None if gen > 1 =>
+        val prev = ingestMarkerPath(dir, gen - 1)
+        if (fs.exists(prev)) {
+          val buf = new Array[Byte](fs.getFileStatus(prev).getLen.toInt)
+          val in = fs.open(prev)
+          try in.readFully(0, buf) finally in.close()
+          val out = fs.create(dest, true)
+          try out.write(buf) finally out.close()
+        }
+      case None => ()
+    }
+  }
+
+  /** The (ingestId, batchId) of the newest stream batch applied to this
+    * store, if any — [[graft.streaming.StreamClassify.ingestBatch]] skips
+    * a batch whose id is <= the recorded one for the same ingestId, making
+    * crash-replayed micro-batches no-ops (exactly-once store commits). */
+  def lastIngestCommit(conf: Configuration, dir: String): Option[(String, Long)] =
+    currentGeneration(conf, dir).flatMap { gen =>
+      val p = ingestMarkerPath(dir, gen)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        val s = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+        val i = s.lastIndexOf('\t')
+        if (i < 0) None else Some((s.substring(0, i), s.substring(i + 1).toLong))
+      }
+    }
 
   def save(spark: SparkSession, db: SketchDb, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -427,10 +490,18 @@ object SketchStore {
     lazyFromManifest(spark, dir, m)
   }
 
+  /** The session's per-executor resident-shard-byte bound (LRU eviction
+    * past it); default unbounded. EVERY LazyTwoLevelDb construction must
+    * read this — a handle returned by buildToStore/updateStored has to
+    * honor the same bound as one from loadTwoLevelLazy, or a long-running
+    * service probing the returned handle silently bypasses the LRU cap. */
+  private[graft] def configuredCacheBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.shard.cache.bytes")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+
   private def lazyFromManifest(spark: SparkSession, dir: String,
       m: Manifest): LazyTwoLevelDb = {
-    val maxCache = spark.conf.getOption("spark.graft.shard.cache.bytes")
-      .map(_.toLong).getOrElse(Long.MaxValue)
+    val maxCache = configuredCacheBytes(spark)
     new LazyTwoLevelDb(InterleavedBloom.fromBytes(m.ibfBytes), m.targets,
       m.counts, m.layout, m.params, m.plan, dir, m.generation, m.shardGens,
       new graft.build.SerializableHadoopConf(
@@ -524,25 +595,95 @@ object SketchStore {
     else eagerFromManifest(spark, dir, m)
   }
 
+  // ---- pins ------------------------------------------------------------------
+
+  private def pinsDir(dir: String) = new Path(s"$dir/pins")
+
+  /**
+   * Register a reader PIN on generation `gen`: [[gcGenerations]] keeps a
+   * pinned generation fully readable (its metadata and every blob it
+   * references) no matter how far CURRENT advances — the cooperative
+   * alternative to sizing `keepGens` for the slowest reader. A long-lived
+   * [[graft.build.LazyTwoLevelDb]] handle pins its own `generation` when
+   * it will outlive the gc grace window, and MUST [[unpin]] when done (a
+   * leaked pin blocks reclamation of that one generation until an
+   * operator deletes `pins/pin_<id>`; gc reports what it skipped, so a
+   * leak is visible, never silent). Returns the pin id.
+   */
+  def pin(conf: Configuration, dir: String, gen: Int): String = {
+    val id = java.util.UUID.randomUUID().toString
+    val p = new Path(pinsDir(dir), s"pin_$id")
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(pinsDir(dir))
+    val out = fs.create(p, false)
+    try out.write(gen.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    id
+  }
+
+  /** Release a pin taken by [[pin]]. Idempotent. */
+  def unpin(conf: Configuration, dir: String, pinId: String): Unit = {
+    val p = new Path(pinsDir(dir), s"pin_$pinId")
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  /** Generations currently pinned by registered readers (deduplicated). */
+  def pinnedGenerations(conf: Configuration, dir: String): Seq[Int] = {
+    val d = pinsDir(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq
+      .filter(_.getPath.getName.startsWith("pin_"))
+      .map { st =>
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(st.getPath)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      }.distinct.sorted
+  }
+
   // ---- GC ------------------------------------------------------------------
+
+  /** What [[gcGenerationsReport]] did: files/bytes freed, plus the
+    * generations OLDER than the keep window that were kept anyway because
+    * a registered [[pin]] references them. */
+  final case class GcReport(files: Long, bytes: Long, pinnedKept: Seq[Int])
 
   /** Reclaim superseded generations, keeping the last `keepGens` SNAPSHOTS
     * fully readable (their gen_<v> metadata and every blob any of them
     * references — a pinned [[LazyTwoLevelDb]] loaded up to keepGens-1
     * generations ago keeps working). Everything older, and every blob no
-    * kept snapshot references, is deleted. Returns (files, bytes) freed.
-    * Run it after updates once in-flight readers have drained past the
-    * grace window. */
+    * kept snapshot references, is deleted — EXCEPT generations registered
+    * in the pin directory ([[pin]]), which stay readable regardless of
+    * age and are reported in [[GcReport.pinnedKept]]. Also sweeps
+    * orphaned `.grp_*.tmp` files in committed shard dirs (residue of
+    * executor attempts that lost the commit rename race after their
+    * generation committed — no committed reader ever references a tmp
+    * path). Run it after updates once unpinned in-flight readers have
+    * drained past the grace window. */
   def gcGenerations(spark: SparkSession, dir: String,
       keepGens: Int = 2): (Long, Long) = {
+    val r = gcGenerationsReport(spark, dir, keepGens)
+    (r.files, r.bytes)
+  }
+
+  def gcGenerationsReport(spark: SparkSession, dir: String,
+      keepGens: Int = 2): GcReport = {
     require(keepGens >= 1, "must keep at least the current generation")
     val conf = spark.sparkContext.hadoopConfiguration
-    val cur = currentGeneration(conf, dir).getOrElse(return (0L, 0L))
+    val cur = currentGeneration(conf, dir)
+      .getOrElse(return GcReport(0L, 0L, Nil))
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val oldest = math.max(1, cur - keepGens + 1)
-    // union of (gen, group) blob references across the kept snapshots
-    val needed = (oldest to cur).flatMap { v =>
+    // pins inside the keep window are covered anyway; pins on uncommitted
+    // generations (> cur) reference nothing reclaimable
+    val pinnedOld = pinnedGenerations(conf, dir)
+      .filter(v => v >= 1 && v < oldest)
+    val pinnedSet = pinnedOld.toSet
+    // union of (gen, group) blob references across kept + pinned snapshots
+    val needed = ((oldest to cur) ++ pinnedOld).flatMap { v =>
       val mp = new Path(s"${genDir(dir, v)}/manifest.parquet")
       if (!fs.exists(mp)) Nil
       else {
@@ -556,10 +697,13 @@ object SketchStore {
     var bytes = 0L
     fs.listStatus(d).map(_.getPath).foreach { p =>
       val name = p.getName
-      if (name.startsWith("gen_") && name.stripPrefix("gen_").toInt < oldest) {
-        bytes += fs.getContentSummary(p).getLength
-        files += 1
-        fs.delete(p, true)
+      if (name.startsWith("gen_")) {
+        val v = name.stripPrefix("gen_").toInt
+        if (v < oldest && !pinnedSet(v)) {
+          bytes += fs.getContentSummary(p).getLength
+          files += 1
+          fs.delete(p, true)
+        }
       } else if (name.startsWith("shards_v")) {
         val v = name.stripPrefix("shards_v").toInt
         if (v <= cur) fs.listStatus(p).foreach { st =>
@@ -571,6 +715,13 @@ object SketchStore {
               bytes += st.getLen
               fs.delete(st.getPath, false)
             }
+          } else if (bn.startsWith(".") && bn.endsWith(".tmp")) {
+            // a committed generation's leftover tmp (e.g. a speculative
+            // duplicate attempt that lost the rename race mid-write):
+            // unreferenced by construction, reclaim it
+            files += 1
+            bytes += st.getLen
+            fs.delete(st.getPath, false)
           }
         }
         if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
@@ -579,7 +730,7 @@ object SketchStore {
         fs.delete(p, false) // committed generations never hold a live lock
       }
     }
-    (files, bytes)
+    GcReport(files, bytes, pinnedOld)
   }
 
   private object Sizing2 {

@@ -127,39 +127,101 @@ object StreamClassify {
    * it) and must MATERIALIZE the output before returning (write/collect/
    * count): a rotation in a later batch destroys the prior generation's
    * broadcast, invalidating any still-unmaterialized plan built on it.
+   * The contract is ENFORCED: a sink that returns without ever running
+   * its batch's plan fails that batch with a message saying so, instead
+   * of a baffling destroyed-broadcast error at some later rotation.
    * The batch answer equals batch-mode classify against a fresh load
    * of the same generation — proved by `StreamLiveStoreSpec` and driver
    * row q69.
+   *
+   * The final generation's broadcast is released when the owning query
+   * TERMINATES (a `StreamingQueryListener` keyed to the query id observed
+   * from inside the stream thread) — without that hook a long-lived
+   * session leaks one db broadcast per stopped stream.
    */
   def classifyLiveStore(spark: SparkSession, stream: DataFrame,
       idCol: String, contentCol: String, storeDir: String,
       cp: ClassifyParams = ClassifyParams())(
-      sink: (DataFrame, Long, Int) => Unit): DataStreamWriter[Row] = {
+      sink: (DataFrame, Long, Int) => Unit): DataStreamWriter[Row] =
+    classifyLiveStoreTracked(spark, stream, idCol, contentCol, storeDir,
+      cp)(sink)._1
+
+  /** Rotation state of one [[classifyLiveStore]] stream, exposed so tests
+    * can observe the termination-time broadcast release. */
+  private[graft] final class LiveStoreState {
+    @volatile private[graft] var gen: Int = -1
+    @volatile private[graft] var dbB:
+      org.apache.spark.broadcast.Broadcast[ProbeDb] = null
+    @volatile private[graft] var released = false
+  }
+
+  private[graft] def classifyLiveStoreTracked(spark: SparkSession,
+      stream: DataFrame, idCol: String, contentCol: String, storeDir: String,
+      cp: ClassifyParams = ClassifyParams())(
+      sink: (DataFrame, Long, Int) => Unit)
+      : (DataStreamWriter[Row], LiveStoreState) = {
     // driver-side rotation state: foreachBatch bodies run sequentially on
     // the stream's microbatch thread, so plain vars need no locking
-    var gen = -1
-    var dbB: org.apache.spark.broadcast.Broadcast[ProbeDb] = null
-    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+    val state = new LiveStoreState
+    // counts EXECUTED partitions of each batch's output plan — the cheap
+    // observable that distinguishes "sink materialized" from "sink only
+    // held the lazy plan"
+    val execAcc = spark.sparkContext.longAccumulator("graft.live.exec")
+    var listenerFor: String = null
+    val writer = stream.writeStream.foreachBatch {
+        (batch: Dataset[Row], batchId: Long) =>
+      // register the termination hook once per query: the query id is only
+      // knowable from inside the stream execution thread (local property)
+      val qid = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+      if (qid != null && qid != listenerFor) {
+        listenerFor = qid
+        val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            if (e.id.toString == qid) {
+              spark.streams.removeListener(this)
+              val b = state.dbB
+              state.dbB = null
+              if (b != null) b.destroy()
+              state.released = true
+            }
+        }
+        spark.streams.addListener(l)
+      }
       val conf = spark.sparkContext.hadoopConfiguration
       val cur = graft.io.SketchStore.currentGeneration(conf, storeDir)
         .getOrElse(throw new IllegalStateException(
           s"$storeDir has no committed generation"))
-      if (cur != gen) {
+      if (cur != state.gen) {
         // loadForProbe: a two-level store rotates in as the LAZY handle
         // (coarse + metadata broadcast; shards fetch per executor) — an
         // eager load would pull the whole store through the driver at
         // every rotation
         val db = graft.io.SketchStore.loadForProbe(spark, storeDir)
-        val old = dbB
-        dbB = spark.sparkContext.broadcast(db)
-        gen = cur
+        val old = state.dbB
+        state.dbB = spark.sparkContext.broadcast(db)
+        state.gen = cur
         if (old != null) old.destroy()
       }
-      val out = Classify.allMatches(Classify.classifyB(
-        spark, batch.toDF(), idCol, contentCol, dbB, cp))
-      sink(out, batchId, gen)
+      val out0 = Classify.allMatches(Classify.classifyB(
+        spark, batch.toDF(), idCol, contentCol, state.dbB, cp))
+      val before = execAcc.value
+      val out = out0.mapPartitions { it => execAcc.add(1L); it }(
+        org.apache.spark.sql.Encoders.row(out0.schema))
+      sink(out.toDF(), batchId, state.gen)
+      // happy path (sink ran the plan) costs nothing extra; the batch
+      // check on the raw input runs only when no task ever executed
+      if (execAcc.value == before && !batch.isEmpty)
+        throw new IllegalStateException(
+          "classifyLiveStore sink returned without MATERIALIZING its " +
+            "batch (write/collect/count it before returning): a later " +
+            "generation rotation destroys this batch's broadcast, " +
+            "invalidating the still-unexecuted plan")
       ()
     }
+    (writer, state)
   }
 
   /**
@@ -175,35 +237,78 @@ object StreamClassify {
    * commit nothing. `gcKeepGens` (if set) reclaims superseded generations
    * after each commit, keeping the last K readable for pinned readers —
    * without it a long-running ingest accumulates one generation per
-   * batch. Exactly-once note: a batch REPLAYED after a crash between its
-   * store commit and the checkpoint commit re-inserts its hashes; Bloom
-   * insertion is idempotent for existing targets' bins (same bits set)
-   * but replayed APPENDS of a then-new target would double the target's
-   * bins, so run with a checkpointLocation and treat the store as behind
-   * the stream's own commit log, or compact after recovery.
+   * batch.
+   *
+   * EXACTLY-ONCE: each committed generation records the (ingestId,
+   * batchId) that produced it in its manifest dir, atomically with the
+   * CURRENT flip — the store is its own commit log. A batch REPLAYED
+   * after a crash between the store commit and the stream's checkpoint
+   * commit finds its own id already recorded and is skipped
+   * ([[ingestBatch]]), so a replay can never double-append a new
+   * target's bins. `ingestId` scopes the log: batchIds are only
+   * monotonic within ONE stream/checkpoint, so give each logical ingest
+   * stream (fresh checkpoint dir) its own id — reusing an id across
+   * different checkpoints would mistake the new stream's early batches
+   * for replays.
+   *
+   * `gcKeepGens` must be >= 2: a concurrent [[classifyLiveStore]] reader
+   * re-reads CURRENT only at batch START, so keep=1 could gc the
+   * generation an in-flight classify micro-batch is still probing the
+   * moment this stream commits the next one (a one-batch exposure race).
    */
   def ingestForeachBatch(spark: SparkSession, stream: DataFrame,
       targetCol: String, contentCol: String, storeDir: String,
       p: graft.build.IbfParams = graft.build.IbfParams(),
-      gcKeepGens: Option[Int] = None): DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      val b = batch.toDF().persist()
+      gcKeepGens: Option[Int] = None,
+      ingestId: String = "ingest"): DataStreamWriter[Row] = {
+    gcKeepGens.foreach(k => require(k >= 2,
+      s"gcKeepGens=$k: must keep >= 2 generations — a live classify " +
+        "stream sharing this store re-reads CURRENT only at batch start, " +
+        "so keep=1 can reclaim the generation an in-flight classify " +
+        "micro-batch is still pinned to"))
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      ingestBatch(spark, batch.toDF(), targetCol, contentCol, storeDir, p,
+        gcKeepGens, ingestId, batchId)
+      ()
+    }
+  }
+
+  /** Apply ONE ingest micro-batch idempotently: skipped (returns false)
+    * when the store already records a commit for this `ingestId` at
+    * `batchId` or later — the crash-replay case — and otherwise committed
+    * as a new generation tagged (ingestId, batchId). Public so recovery
+    * tooling (and tests) can replay a batch deterministically; the
+    * streaming path [[ingestForeachBatch]] is this per batch. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, targetCol: String,
+      contentCol: String, storeDir: String,
+      p: graft.build.IbfParams = graft.build.IbfParams(),
+      gcKeepGens: Option[Int] = None, ingestId: String = "ingest",
+      batchId: Long): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val applied = graft.io.SketchStore.lastIngestCommit(conf, storeDir)
+    if (applied.exists { case (id, b) => id == ingestId && b >= batchId })
+      false // replay of an already-committed batch: the no-op exactly-once path
+    else {
+      val b = batch.persist()
       try {
-        if (!b.isEmpty) {
-          val conf = spark.sparkContext.hadoopConfiguration
+        if (b.isEmpty) false
+        else {
           val exists = graft.io.SketchStore
             .currentGeneration(conf, storeDir).isDefined
+          val tag = Some((ingestId, batchId))
           if (exists)
             graft.build.SketchBuild.updateStored(spark, storeDir, b,
-              targetCol, contentCol)
+              targetCol, contentCol, commitTag = tag)
           else
             graft.build.SketchBuild.buildToStore(spark, b, targetCol,
-              contentCol, storeDir, p)
+              contentCol, storeDir, p, commitTag = tag)
           gcKeepGens.foreach(k =>
             graft.io.SketchStore.gcGenerations(spark, storeDir, k))
+          true
         }
       } finally { b.unpersist(); () }
     }
+  }
 
   /**
    * Per-group RUNNING quantile estimate (KLL as `mapGroupsWithState`

@@ -169,6 +169,65 @@ class StreamLiveStoreSpec extends AnyFunSuite {
         "the per-generation broadcast is not being reused")
   }
 
+  test("a sink that never materializes its batch fails THAT batch with " +
+      "the contract message, not a destroyed-broadcast error later") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Corpus.df(spark, 40, numRepos = 4, partitions = 2).cache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lazysink").toString
+    SketchBuild.buildToStore(spark, corpus, "repo", "content", dir,
+      IbfParams(k = 8, w = 8, maxFp = 1e-5))
+    val probe = corpus.select($"path".as("id"), $"content").limit(3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+    val ms = MemoryStream[(String, String)]
+    var held: DataFrame = null
+    val q = StreamClassify.classifyLiveStore(spark,
+        ms.toDF().toDF("id", "content"), "id", "content", dir, cp) {
+        (out, _, _) => held = out // lazy sink: holds the plan, runs nothing
+      }.start()
+    ms.addData(probe: _*)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("MATERIALIZING")),
+      s"expected the sink-contract message, got: ${messages(e)}")
+  }
+
+  test("query termination releases the final generation's broadcast") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Corpus.df(spark, 40, numRepos = 4, partitions = 2).cache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_release").toString
+    SketchBuild.buildToStore(spark, corpus, "repo", "content", dir,
+      IbfParams(k = 8, w = 8, maxFp = 1e-5))
+    val probe = corpus.select($"path".as("id"), $"content").limit(3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+    val ms = MemoryStream[(String, String)]
+    val (writer, state) = StreamClassify.classifyLiveStoreTracked(spark,
+        ms.toDF().toDF("id", "content"), "id", "content", dir, cp) {
+        (out, _, _) => out.count(); ()
+      }
+    val q = writer.start()
+    ms.addData(probe: _*); q.processAllAvailable()
+    assert(state.dbB != null, "a batch ran, so a generation is broadcast")
+    q.stop()
+    // the listener fires asynchronously on the listener bus
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (!state.released && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(state.released, "onQueryTerminated must destroy the final " +
+      "generation's broadcast")
+    assert(state.dbB == null)
+  }
+
   test("composition: an ingest stream and a classify stream share one " +
       "store; the classifier picks up each ingested generation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
