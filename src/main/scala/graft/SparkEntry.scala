@@ -73,6 +73,19 @@ object SparkEntry {
       8000 + (id % 8).toInt, 1, 16, smp))
   })
 
+  /** 16x16 grayscale baseline JPEG of four constant 8x8 blocks, block b =
+    * (id*7 + b*53) % 256, all-ones quant + restart markers: constant
+    * blocks have one integral DC coefficient each, so the lossy-format
+    * decode is EXACT and the oracle can replay the pixel sum
+    * arithmetically (64 * sum of the four block values). */
+  private val mkJpegUdf = udf((id: Long) => {
+    val px = Array.tabulate(16 * 16) { i =>
+      val b = (i / 16 / 8) * 2 + (i % 16) / 8
+      ((id * 7 + b * 53) % 256).toByte
+    }
+    graft.ops.Jpeg.encode(16, 16, 1, px, restartInterval = 1)
+  })
+
   /** 8x6 mono Y4M at 24 fps, 3 + id%5 frames of
     * (id*11 + f*131 + i*7) % 256 luma. */
   private val mkY4mUdf = udf((id: Long) => {
@@ -1363,6 +1376,68 @@ object SparkEntry {
           col("pixel_sum"))
     }),
 
+    "q74_batch_manifest" -> ((s, dir) => {
+      // batch-manifest e2e (the last §2.1 row without a driver query):
+      // sample-prefixed parquet FILES ON DISK + a TSV manifest ->
+      // readBatchManifest -> readsFromManifest (per-sample tagging; s0's
+      // mate table pairs only EVEN doc_ids, so odd s0 reads exercise the
+      // single-end left-join degrade) -> ONE classifyBySample job ->
+      // per-sample rep. Full SQL oracle replays the rel-cutoff classify
+      // on exact 8-gram counts, with paired reads hashing the UNION of
+      // both mates' grams (mate = upper(text), SQL-replayable)
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) >= 8)
+      val base = s"/tmp/graft_q74_${math.abs(dir.hashCode)}"
+      deleteRec(new java.io.File(base))
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$base/s$i.parquet")
+      }
+      docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+        .write.mode("overwrite").parquet(s"$base/s0_mate.parquet")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/manifest.tsv"),
+        s"s0\t$base/s0.parquet\t$base/s0_mate.parquet\n" +
+          s"s1\t$base/s1.parquet\n" +
+          s"s2\t$base/s2.parquet\n")
+      val reads = graft.io.Formats.readsFromManifest(s,
+        graft.io.Formats.readBatchManifest(s, s"$base/manifest.tsv"),
+        "doc_id", "text")
+      val binned = docs.withColumn("target",
+        concat(col("lang"), lit("/"), col("source")))
+      val db = SketchBuild.build(s, binned, "target", "text",
+        IbfParams(k = 8, w = 8, maxFp = 1e-6))
+      val res = Classify.classifyBySample(s, reads, "sample", "doc_id",
+        "text", db,
+        ClassifyParams(relCutoff = 0.25, relFilter = 1.0, fprQuery = 1.0),
+        content2Col = Some("content2"))
+      Classify.reportBySample(res)
+        .select(col("sample"), col("target"), col("matches"),
+          col("unique_reads"), col("lca_reads"))
+    }),
+
+    "q73_jpeg_decode" -> ((s, dir) => {
+      // REAL in-JVM baseline JPEG decode (canonical Huffman + dequantize +
+      // IDCT + restart markers): synthesize a deterministic 16x16 gray
+      // JPEG of four constant blocks per doc — constant blocks survive
+      // the lossy transform EXACTLY at quant=1 (single integral DC
+      // coefficient) — decode through the same signature-dispatched
+      // multimodal verb as PNG (q58), emit the pixel sum
+      val docs = t(s, dir, "documents")
+      val media = docs.select(col("doc_id").cast("long").as("doc_id"),
+          mkJpegUdf(col("doc_id").cast("long")).as("payload"),
+          lit("image/jpeg").as("media_type"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      Multimodal.extractImageMeta(s, media).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("pixel_sum"))
+    }),
+
     "q59_stream_cascade" -> ((s, dir) => {
       // streaming hierarchy cascade (foreachBatch running the batch cascade
       // per micro-batch — the reference's level barriers are intra-read, so
@@ -2326,6 +2401,74 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS channels,
         |  CAST(list_sum([(i*31 + doc_id*7) % 256
         |    for i in generate_series(0, 127)]) AS BIGINT) AS pixel_sum
+        |FROM documents""".stripMargin,
+
+    // exact replay of the engine's manifest-fed multi-sample classify:
+    // paired s0-even reads hash the UNION of text + upper(text) grams,
+    // everything else single-end; cutoff/tie-break as in q49
+    "q74_batch_manifest" ->
+      """WITH raw AS (
+        |  SELECT doc_id, 's' || (doc_id % 3) AS sample, text,
+        |    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+        |      THEN upper(text) END AS mate
+        |  FROM documents
+        |  WHERE strlen(text) >= 8),
+        |gsets AS (
+        |  SELECT doc_id, sample, list_distinct(
+        |    [substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1, CAST(strlen(text) AS BIGINT) - 7)]
+        |    || coalesce([substr(hex(encode(mate)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(mate) AS BIGINT) - 7)], [])) AS gs
+        |  FROM raw),
+        |grams AS (
+        |  SELECT doc_id, sample, unnest(gs) AS g FROM gsets
+        |  WHERE len(gs) BETWEEN 1 AND 65535),
+        |docn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        |binset AS (
+        |  SELECT lang || '/' || source AS t2,
+        |    unnest(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)])) AS g
+        |  FROM documents WHERE strlen(text) >= 8),
+        |bins AS (SELECT t2, g FROM binset GROUP BY ALL),
+        |hits AS (
+        |  SELECT gr.doc_id, ANY_VALUE(gr.sample) AS sample, b.t2,
+        |    COUNT(*) AS c
+        |  FROM grams gr JOIN bins b ON gr.g = b.g
+        |  GROUP BY gr.doc_id, b.t2),
+        |surv AS (
+        |  SELECT h.doc_id, h.sample, h.t2, h.c
+        |  FROM hits h JOIN docn d USING (doc_id)
+        |  WHERE h.c >= GREATEST(1, CEIL(d.n * 0.25))),
+        |nsurv AS (SELECT doc_id, COUNT(*) AS ns FROM surv GROUP BY 1),
+        |m AS (SELECT sample, t2, CAST(COUNT(*) AS BIGINT) AS matches
+        |      FROM surv GROUP BY 1, 2),
+        |uniq AS (
+        |  SELECT s.sample, s.t2, CAST(COUNT(*) AS BIGINT) AS unique_reads
+        |  FROM surv s JOIN nsurv USING (doc_id) WHERE ns = 1 GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT sample, t2 FROM (
+        |    SELECT s.sample, s.t2, row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY s.c DESC, s.t2 DESC) AS rn
+        |    FROM surv s JOIN nsurv USING (doc_id) WHERE ns > 1)
+        |  WHERE rn = 1),
+        |lca AS (SELECT sample, t2, CAST(COUNT(*) AS BIGINT) AS lca_reads
+        |        FROM assigned GROUP BY 1, 2)
+        |SELECT m.sample, m.t2 AS target, m.matches,
+        |  COALESCE(u.unique_reads, 0) AS unique_reads,
+        |  COALESCE(l.lca_reads, 0) AS lca_reads
+        |FROM m
+        |LEFT JOIN uniq u ON m.sample = u.sample AND m.t2 = u.t2
+        |LEFT JOIN lca l ON m.sample = l.sample AND m.t2 = l.t2""".stripMargin,
+
+    "q73_jpeg_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(64 * ((doc_id*7) % 256 + (doc_id*7 + 53) % 256 +
+        |    (doc_id*7 + 106) % 256 + (doc_id*7 + 159) % 256)
+        |    AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
 
     "q57_cascade_tax" ->

@@ -350,7 +350,11 @@ object Classify {
       content2Col: Option[String] = None): DataFrame = {
     import spark.implicits._
     val dbB = spark.sparkContext.broadcast(db)
-    val lcaB = spark.sparkContext.broadcast(lcaOpt)
+    // same no-LCA-no-broadcast rule as classifyHashedB: don't mint a
+    // broadcast handle just to carry None
+    val lcaB =
+      if (lcaOpt.isEmpty) null
+      else spark.sparkContext.broadcast(lcaOpt.get)
     val p = db.params
     val hsCol = content2Col match {
       case Some(c2) => graft.spark.GraftFunctions.pairedShingles(
@@ -370,7 +374,8 @@ object Classify {
         lenCol.as("len"), hsCol.as("hs"))
       .as[(String, String, Int, Array[Long])]
       .mapPartitions { iter =>
-        val one = rowClassifier(dbB.value, lcaB.value, cp)
+        val one = rowClassifier(dbB.value,
+          if (lcaB == null) None else Some(lcaB.value), cp)
         iter.map { case (sample, id, len, hs) => (sample, one(id, len, hs)) }
       }.toDF("sample", "r")
       .select(col("sample"), col("r.*"))

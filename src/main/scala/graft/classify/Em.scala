@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
  * groupBy+collect had). Nothing rescans or reshuffles the full match
  * relation inside the loop; at 10^7 targets the per-iteration broadcast
  * is ~80 MB, not the ~1 GB a string map would cost. Measured at 10^6
- * targets / 2x10^6 multi-match reads, local[8]: 3 EM iterations in ~24 s
- * wall, flat per-iteration cost (tools/EmScale).
+ * targets / 2x10^6 multi-match reads, local[8]: 3 EM iterations in 27.6 s
+ * wall including the one-time grouping pass (tools/EmScale).
  * Tie-break: the reference keeps the FIRST listed match (reassign.py:
  * 227-241 — np.argmax returns the first max index). When the input
  * carries Classify.allMatches' `match_order` column (the read's bin

@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 
 /**
  * Multimodal plumbing: image/audio/video payloads ride as opaque `binary`
- * columns with typed metadata. Three codecs get a REAL in-JVM decode —
- * PNG images ([[Png]]: inflate + per-scanline unfiltering), WAV audio
+ * columns with typed metadata. Four codecs get a REAL in-JVM decode —
+ * PNG images ([[Png]]: inflate + per-scanline unfiltering), baseline JPEG
+ * ([[Jpeg]]: Huffman + dequantize + IDCT + chroma upsample), WAV audio
  * ([[Wav]]: RIFF chunk walk + PCM), Y4M video ([[Y4m]]: header grammar +
  * raw planes) — plus exact-integer transform verbs (resize, frame-sample)
  * on top. Codecs that need libraries this container doesn't ship
- * (JPEG/MP3/H.264) fall back to the clearly-marked stub feature below.
+ * (MP3/H.264) fall back to the clearly-marked stub feature below.
  * The Spark-side plumbing — schema, batched per-partition processing
  * shape, partition sizing — is shared by all paths.
  *
@@ -177,13 +178,18 @@ object Multimodal {
       v.frames.length.toLong, s, peak)
   }
 
-  /** REAL image decode over PNG payloads: inflate + unfilter in-JVM
-    * ([[Png.decode]]), emitting per-image dimensions plus the pixel sum. */
+  /** REAL image decode, dispatched on the payload's signature: PNG
+    * (inflate + unfilter, [[Png.decode]]) or baseline JPEG (Huffman +
+    * IDCT, [[Jpeg.decode]]) — a scraped corpus mixes both in one column,
+    * so the verb sniffs per row rather than asking the caller to
+    * pre-split. Emits per-image dimensions plus the pixel sum. */
   def extractImageMeta(spark: SparkSession, media: DataFrame,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[ImageMeta] = {
     import spark.implicits._
     decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
-      if (!Png.isPng(p)) None else Some(imageMeta(id, Png.decode(p)))
+      if (Png.isPng(p)) Some(imageMeta(id, Png.decode(p)))
+      else if (Jpeg.isJpeg(p)) Some(imageMeta(id, Jpeg.decode(p)))
+      else None
     }
   }
 
