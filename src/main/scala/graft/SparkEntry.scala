@@ -86,6 +86,14 @@ object SparkEntry {
     graft.ops.Jpeg.encode(16, 16, 1, px, restartInterval = 1)
   })
 
+  /** 16x12 grayscale INTERLACED GIF, pixel i = (i*29 + id*13) % 256:
+    * lossless LZW means the decode is bit-exact, so the oracle replays
+    * the pixel sum arithmetically (x3: the gray palette expands to RGB). */
+  private val mkGifUdf = udf((id: Long) => {
+    val px = Array.tabulate(16 * 12)(i => ((i * 29 + id * 13) % 256).toByte)
+    graft.ops.Gif.encode(16, 12, px, interlace = true)
+  })
+
   /** 8x6 mono Y4M at 24 fps, 3 + id%5 frames of
     * (id*11 + f*131 + i*7) % 256 luma. */
   private val mkY4mUdf = udf((id: Long) => {
@@ -1376,6 +1384,25 @@ object SparkEntry {
           col("pixel_sum"))
     }),
 
+    "q75_gif_decode" -> ((s, dir) => {
+      // REAL in-JVM GIF decode (variable-width LZW + palette + interlace
+      // de-scrambling): synthesize a deterministic INTERLACED 16x12 gray
+      // GIF per doc; the format is lossless, so the decoded pixel sum is
+      // exactly the synthesis formula (x3 for the gray->RGB palette
+      // expansion) — same signature-dispatched verb as PNG/JPEG
+      val docs = t(s, dir, "documents")
+      val media = docs.select(col("doc_id").cast("long").as("doc_id"),
+          mkGifUdf(col("doc_id").cast("long")).as("payload"),
+          lit("image/gif").as("media_type"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      Multimodal.extractImageMeta(s, media).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("pixel_sum"))
+    }),
+
     "q74_batch_manifest" -> ((s, dir) => {
       // batch-manifest e2e (the last §2.1 row without a driver query):
       // sample-prefixed parquet FILES ON DISK + a TSV manifest ->
@@ -2401,6 +2428,14 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS channels,
         |  CAST(list_sum([(i*31 + doc_id*7) % 256
         |    for i in generate_series(0, 127)]) AS BIGINT) AS pixel_sum
+        |FROM documents""".stripMargin,
+
+    "q75_gif_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(3 * list_sum([(i*29 + doc_id*13) % 256
+        |    for i in generate_series(0, 191)]) AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
 
     // exact replay of the engine's manifest-fed multi-sample classify:

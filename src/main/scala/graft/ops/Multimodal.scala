@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /**
  * Multimodal plumbing: image/audio/video payloads ride as opaque `binary`
- * columns with typed metadata. Four codecs get a REAL in-JVM decode —
+ * columns with typed metadata. Five codecs get a REAL in-JVM decode —
  * PNG images ([[Png]]: inflate + per-scanline unfiltering), baseline JPEG
- * ([[Jpeg]]: Huffman + dequantize + IDCT + chroma upsample), WAV audio
+ * ([[Jpeg]]: Huffman + dequantize + IDCT + chroma upsample), GIF
+ * ([[Gif]]: variable-width LZW + palette + interlace), WAV audio
  * ([[Wav]]: RIFF chunk walk + PCM), Y4M video ([[Y4m]]: header grammar +
  * raw planes) — plus exact-integer transform verbs (resize, frame-sample)
  * on top. Codecs that need libraries this container doesn't ship
@@ -179,16 +180,18 @@ object Multimodal {
   }
 
   /** REAL image decode, dispatched on the payload's signature: PNG
-    * (inflate + unfilter, [[Png.decode]]) or baseline JPEG (Huffman +
-    * IDCT, [[Jpeg.decode]]) — a scraped corpus mixes both in one column,
-    * so the verb sniffs per row rather than asking the caller to
-    * pre-split. Emits per-image dimensions plus the pixel sum. */
+    * (inflate + unfilter, [[Png.decode]]), baseline JPEG (Huffman + IDCT,
+    * [[Jpeg.decode]]) or GIF (LZW + palette, [[Gif.decode]]) — a scraped
+    * corpus mixes all three in one column, so the verb sniffs per row
+    * rather than asking the caller to pre-split. Emits per-image
+    * dimensions plus the pixel sum. */
   def extractImageMeta(spark: SparkSession, media: DataFrame,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[ImageMeta] = {
     import spark.implicits._
     decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
       if (Png.isPng(p)) Some(imageMeta(id, Png.decode(p)))
       else if (Jpeg.isJpeg(p)) Some(imageMeta(id, Jpeg.decode(p)))
+      else if (Gif.isGif(p)) Some(imageMeta(id, Gif.decode(p)))
       else None
     }
   }
