@@ -1384,6 +1384,28 @@ object SparkEntry {
           col("pixel_sum"))
     }),
 
+    "q76_dedup_clusters" -> ((s, dir) => {
+      // duplicate-CLUSTER resolution: connected components over the pair
+      // relation + keep-one survivor per cluster. The pair input is the
+      // CONSECUTIVE-copy chain (g - g+1e7, g+1e7 - g+2e7, for every
+      // doc_id g % 7 == 0) and deliberately OMITS the g - g+2e7 pair, so
+      // the green row proves TRANSITIVE closure itself, with an oracle
+      // that stays exact (pair generation has its own rows: q17/q19/q48)
+      val off = 10000000L
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val dup = ids.filter(col("id") % 7 === 0)
+      val corpus = ids
+        .unionByName(dup.select((col("id") + off).as("id")))
+        .unionByName(dup.select((col("id") + 2 * off).as("id")))
+      val pairs = dup.select(col("id").as("doc_a"),
+          (col("id") + off).as("doc_b"))
+        .unionByName(dup.select((col("id") + off).as("doc_a"),
+          (col("id") + 2 * off).as("doc_b")))
+      Dedup.keepOnePerCluster(s, corpus, "id", pairs)
+        .select(col("id").as("doc_id"), col("rep"), col("kept"))
+    }),
+
     "q75_gif_decode" -> ((s, dir) => {
       // REAL in-JVM GIF decode (variable-width LZW + palette + interlace
       // de-scrambling): synthesize a deterministic INTERLACED 16x12 gray
@@ -2429,6 +2451,24 @@ object SparkEntry {
         |  CAST(list_sum([(i*31 + doc_id*7) % 256
         |    for i in generate_series(0, 127)]) AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
+
+    // every copy-chain collapses to rep = the group's ORIGINAL id (its
+    // minimum); docs outside any pair keep themselves
+    "q76_dedup_clusters" ->
+      """WITH ids AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 10000000 FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 20000000 FROM documents
+        |  WHERE doc_id % 7 = 0)
+        |SELECT id AS doc_id,
+        |  CASE WHEN (id % 10000000) % 7 = 0 THEN id % 10000000
+        |       ELSE id END AS rep,
+        |  (CASE WHEN (id % 10000000) % 7 = 0 THEN id % 10000000
+        |        ELSE id END) = id AS kept
+        |FROM ids""".stripMargin,
 
     "q75_gif_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -77,6 +77,23 @@ object Ganon {
   def gcStore(spark: SparkSession, dir: String, keepGens: Int = 2): (Long, Long) =
     SketchStore.gcGenerations(spark, dir, keepGens)
 
+  /** [[gcStore]] with the full report: files/bytes freed plus the
+    * generations older than the keep window that survived because a
+    * registered reader pin references them. */
+  def gcStoreReport(spark: SparkSession, dir: String, keepGens: Int = 2)
+      : SketchStore.GcReport =
+    SketchStore.gcGenerationsReport(spark, dir, keepGens)
+
+  /** Register a reader PIN on a loaded handle's generation: gc keeps it
+    * fully readable no matter how far CURRENT advances. Pair with
+    * [[unpinStore]] when the handle is released — gc reports (never
+    * silently honors) leaked pins. */
+  def pinStore(spark: SparkSession, dir: String, generation: Int): String =
+    SketchStore.pin(spark.sparkContext.hadoopConfiguration, dir, generation)
+
+  def unpinStore(spark: SparkSession, dir: String, pinId: String): Unit =
+    SketchStore.unpin(spark.sparkContext.hadoopConfiguration, dir, pinId)
+
   /** ganon classify --paired: mates' distinct-union hash set per read. */
   def classifyPaired(spark: SparkSession, reads: DataFrame, idCol: String,
       content1Col: String, content2Col: String, db: ProbeDb,

@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
  * then a map-only argmax over those rows (probs broadcast as a flat
  * Array[Double] indexed by target id — 8 B/target instead of a boxed
  * string-keyed map, an array load instead of a hash probe per candidate)
- * followed by a SHUFFLE-FREE per-target count: each partition folds its
- * assignments into a dense Array[Long] and a depth-2 treeAggregate merges
- * them, so the driver receives a few pre-combined arrays instead of
- * boxing |targets| Rows per iteration (the 10^7-target ceiling the old
+ * followed by a per-target count that picks its shape by |targets|:
+ * below 64k a plain groupBy+collect (map-side partial agg, trivial
+ * collect, fastest at reference-test scale); above it a SHUFFLE-FREE
+ * depth-2 treeAggregate of dense per-partition Array[Long]s, so the
+ * driver merges a few pre-combined arrays instead of boxing |targets|
+ * Rows per iteration (the 10^7-target ceiling the unconditional
  * groupBy+collect had). Nothing rescans or reshuffles the full match
  * relation inside the loop; at 10^7 targets the per-iteration broadcast
  * is ~80 MB, not the ~1 GB a string map would cost. Measured at 10^6
- * targets / 2x10^6 multi-match reads, local[8]: 3 EM iterations in 27.6 s
- * wall including the one-time grouping pass (tools/EmScale).
+ * targets / 2x10^6 multi-match reads, local[8]: 3 EM iterations in
+ * ~28 s wall including the one-time grouping pass (tools/EmScale).
  * Tie-break: the reference keeps the FIRST listed match (reassign.py:
  * 227-241 — np.argmax returns the first max index). When the input
  * carries Classify.allMatches' `match_order` column (the read's bin
@@ -121,32 +123,45 @@ object Em {
     while (iter < maxIter && diff > threshold) {
       val pB = spark.sparkContext.broadcast(probs)
       assigned = assign(pB)
-      // per-target counts via treeAggregate of DENSE per-partition arrays:
-      // counting is map-side (no shuffle at all — the old groupBy shuffled
-      // |targets| partial rows per partition) and the driver merges a
-      // handful of pre-combined arrays instead of boxing |targets| Rows —
-      // at 10^7 targets that collect was the scaling ceiling; the array is
-      // 8 B x n = 80 MB per CONCURRENT partition-task, fine on executors
-      // sized for the broadcast prob array of the same shape. The null
-      // zero-value avoids serializing an n-length array to every task.
-      val counts = {
-        val agg = assigned.select(col("tid")).as[Int].rdd
-          .treeAggregate(null: Array[Long])(
-            seqOp = (a0, t) => {
-              val a = if (a0 == null) new Array[Long](n) else a0
-              a(t) += 1; a
-            },
-            combOp = (a, b) =>
-              if (a == null) b
-              else if (b == null) a
-              else {
-                var i = 0
-                while (i < n) { a(i) += b(i); i += 1 }
-                a
+      // per-target counts. Two regimes, same answer:
+      // - SMALL |targets| (< 64k): groupBy + collect — map-side partial
+      //   agg, a few thousand collected Rows, and one fewer job than the
+      //   tree (measured ~1-2 s faster per q22 run at reference-test
+      //   scale).
+      // - LARGE |targets|: treeAggregate of DENSE per-partition arrays —
+      //   counting is map-side (no shuffle; the groupBy shuffled
+      //   |targets| partial rows per partition) and the driver merges a
+      //   handful of pre-combined arrays instead of boxing |targets|
+      //   Rows per iteration, which was the 10^7-target ceiling. The
+      //   array is 8 B x n per CONCURRENT partition-task, fine on
+      //   executors sized for the broadcast prob array of the same
+      //   shape; the null zero-value avoids serializing an n-length
+      //   array to every task. Measured 10^6 targets / 2x10^6 reads:
+      //   3 iterations in 27.6 s wall at local[8] (tools/EmScale).
+      val counts =
+        if (n < 65536) {
+          val c = new Array[Long](n)
+          assigned.groupBy("tid").agg(count(lit(1)).as("c"))
+            .collect().foreach(r => c(r.getInt(0)) = r.getLong(1))
+          c
+        } else {
+          val agg = assigned.select(col("tid")).as[Int].rdd
+            .treeAggregate(null: Array[Long])(
+              seqOp = (a0, t) => {
+                val a = if (a0 == null) new Array[Long](n) else a0
+                a(t) += 1; a
               },
-            depth = 2)
-        if (agg == null) new Array[Long](n) else agg
-      }
+              combOp = (a, b) =>
+                if (a == null) b
+                else if (b == null) a
+                else {
+                  var i = 0
+                  while (i < n) { a(i) += b(i); i += 1 }
+                  a
+                },
+              depth = 2)
+          if (agg == null) new Array[Long](n) else agg
+        }
       if (liveB != null) liveB.destroy()
       liveB = pB
       val newProbs = normalized(Array.tabulate(n)(t =>

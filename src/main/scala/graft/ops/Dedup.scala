@@ -144,4 +144,78 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /**
+   * CLUSTER RESOLUTION over a near-dup pair relation: connected
+   * components by iterative min-label propagation — the step a real
+   * dedup pipeline needs between pair generation ([[minhashPairs]] /
+   * [[simhashPairs]] / [[Ann.lshNearDupPairs]]) and "keep one doc per
+   * duplicate cluster" (a is a near-dup of b, b of c ⇒ a,b,c are ONE
+   * cluster even when a~c was never emitted).
+   *
+   * Returns (id, rep): every vertex of the pair relation labeled with
+   * its component's MINIMUM id (deterministic representative).
+   *
+   * Scale shape: each iteration is one shuffle join (E rows) + a
+   * min-aggregate, with `localCheckpoint` cutting the lineage so the
+   * plan stays O(1) deep; iterations needed = the component DIAMETER,
+   * which for duplicate clusters is small (near-clique groups from
+   * banding; long chains only from gradual drift). The loop CONVERGES
+   * (stops when no label changed) and `maxIter` is the runaway bound —
+   * on hitting it the method throws rather than return a partially
+   * merged labeling that would silently keep duplicate docs.
+   */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      idA: String = "doc_a", idB: String = "doc_b",
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+    // both directions once, reused every iteration
+    val und = edges.unionByName(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // each vertex offers its current rep to every neighbor; a vertex
+      // keeps the min of its own rep and all offers
+      val offers = und
+        .join(labels.withColumnRenamed("id", "a"), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min(col("rep")).as("offer"))
+      val next = labels.join(offers, Seq("id"), "left")
+        .select(col("id"), col("rep").as("old"),
+          least(col("rep"), coalesce(col("offer"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next.filter(col("rep") < col("old")).count()
+      labels = next.select("id", "rep")
+      it += 1
+    }
+    und.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "a component's diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
+  /**
+   * Keep ONE document per duplicate cluster: every doc gets its cluster
+   * representative (itself when it appears in no pair) and a `kept` flag
+   * (true iff it IS the representative — the cluster's minimum id, so
+   * the survivor set is deterministic). This is the end-to-end dedup
+   * verb: pairs in, kept-set out, exactly one survivor per cluster.
+   */
+  def keepOnePerCluster(spark: SparkSession, docs: DataFrame, idCol: String,
+      pairs: DataFrame, idA: String = "doc_a", idB: String = "doc_b")
+      : DataFrame = {
+    val comps = connectedComponents(spark, pairs, idA, idB)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("rep"), col("id")).as("rep"))
+      .withColumn("kept", col(idCol) === col("rep"))
+  }
 }

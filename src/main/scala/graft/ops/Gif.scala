@@ -259,10 +259,10 @@ object Gif {
         val first =
           if (code == next) { // KwKwK: entry being defined right now
             val f = emitPrefixFirst(prefix, append, clear, prev)
-            require(outN + 1 <= expected, "corrupt GIF LZW: too many pixels")
             // expansion of prev followed by its own first byte
             val before = outN
             emit(prev)
+            require(outN < expected, "corrupt GIF LZW: too many pixels")
             out(outN) = f; outN += 1
             out(before) // first byte of the new entry == first of prev
           } else emit(code)

@@ -206,4 +206,24 @@ class GanonApiSpec extends AnyFunSuite {
       .all.collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("facade: pinStore keeps a generation through gcStoreReport") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_apipin").toString
+    new java.io.File(dir).delete()
+    val db1 = Ganon.buildToStore(spark,
+      corpus.filter($"repo" === "repo-1"), "repo", "content", dir, p)
+    val pin = Ganon.pinStore(spark, dir, 1)
+    Ganon.updateStored(spark, dir,
+      corpus.filter($"repo" === "repo-2"), "repo", "content")
+    Ganon.updateStored(spark, dir,
+      corpus.filter($"repo" === "repo-3"), "repo", "content")
+    val r = Ganon.gcStoreReport(spark, dir, keepGens = 1)
+    assert(r.pinnedKept == Seq(1))
+    assert(new java.io.File(s"$dir/gen_1").exists())
+    Ganon.unpinStore(spark, dir, pin)
+    val r2 = Ganon.gcStoreReport(spark, dir, keepGens = 1)
+    assert(r2.pinnedKept.isEmpty && !new java.io.File(s"$dir/gen_1").exists())
+    db1.hashCode() // silence unused warning; the pin is the protagonist
+    ()
+  }
 }

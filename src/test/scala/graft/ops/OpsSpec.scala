@@ -229,6 +229,46 @@ class OpsSpec extends AnyFunSuite {
     assert(qs.getLong(2) == 16) // letters
   }
 
+  test("connected components: chains merge transitively, isolated docs " +
+      "keep themselves, reps are the component minimum") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val out = Dedup.keepOnePerCluster(spark, docs, "id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (99L, 99L, true)))
+  }
+
+  test("connected components: random graph matches a union-find oracle") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    // driver-side union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      .map(v => (v, find(v.toInt).toLong))
+    val got = Dedup.connectedComponents(spark,
+        edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == expected)
+  }
+
+  test("connected components: a 20-long chain converges (diameter-bound " +
+      "iteration, not a fixed small count)") {
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 20 && got.forall(_._2 == 0L))
+  }
+
   test("multimodal: stub features have the right shape and determinism") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
