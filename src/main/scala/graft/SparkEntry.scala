@@ -1384,6 +1384,25 @@ object SparkEntry {
           col("pixel_sum"))
     }),
 
+    "q77_text_clean" -> ((s, dir) => {
+      // the scraped-web cleaning pass: markup strip (tags + entity
+      // decode + whitespace collapse) THEN PII redaction (emails, IPv4s,
+      // 9+-digit runs -> typed placeholders, counted per category).
+      // Markup and PII are PLANTED deterministically around each doc's
+      // text (the corpus is clean, and a no-op row asserts nothing —
+      // the q45 lesson); the oracle replays the planting, the strip and
+      // the redaction with the same regexes in DuckDB
+      val docs = t(s, dir, "documents")
+      val noisy = docs.select(col("doc_id").cast("long").as("doc_id"),
+        concat(lit("<div class=\"a\">"), col("text"),
+          lit("</div> <br/> reach user"), col("doc_id"),
+          lit("@example.com or 10.0.0."), col("doc_id") % 256,
+          lit(" ref 98765432"), col("doc_id") % 10,
+          lit(" &amp; <b>fin</b>")).as("text"))
+      val cleaned = TextStats.stripMarkup(noisy, "doc_id", "text")
+      TextStats.redactPii(cleaned, "doc_id", "cleaned")
+    }),
+
     "q76_dedup_clusters" -> ((s, dir) => {
       // duplicate-CLUSTER resolution: connected components over the pair
       // relation + keep-one survivor per cluster. The pair input is the
@@ -2451,6 +2470,50 @@ object SparkEntry {
         |  CAST(list_sum([(i*31 + doc_id*7) % 256
         |    for i in generate_series(0, 127)]) AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
+
+    // replay of plant -> strip -> redact with the same regex subset
+    // (Java regex and RE2 agree on it); counts are taken at each stage
+    // exactly as the engine takes them (emails on cleaned, ips after
+    // email redaction, numbers after ip redaction)
+    "q77_text_clean" ->
+      """WITH noisy AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    '<div class="a">' || text || '</div> <br/> reach user' ||
+        |    doc_id || '@example.com or 10.0.0.' || (doc_id % 256) ||
+        |    ' ref 98765432' || (doc_id % 10) || ' &amp; <b>fin</b>' AS t
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(t, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS c
+        |  FROM noisy),
+        |stage AS (
+        |  SELECT doc_id, c,
+        |    regexp_replace(c,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS after_email
+        |  FROM cleaned),
+        |stage2 AS (
+        |  SELECT doc_id, c, after_email,
+        |    regexp_replace(after_email,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<IP>', 'g') AS after_ip
+        |  FROM stage)
+        |SELECT doc_id,
+        |  regexp_replace(after_ip, '[0-9]{9,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(c,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(after_email,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(after_ip, '[0-9]{9,}')) AS BIGINT)
+        |    AS n_longnums
+        |FROM stage2""".stripMargin,
 
     // every copy-chain collapses to rep = the group's ORIGINAL id (its
     // minimum); docs outside any pair keep themselves

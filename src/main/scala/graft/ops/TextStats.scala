@@ -94,4 +94,47 @@ object TextStats {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
       graft.spark.GraftFunctions.hash64(col(textCol)).as("fingerprint"))
+
+  /** Markup strip for scraped text: drop `<...>` tags, decode the five
+    * ubiquitous HTML entities (amp LAST, so `&amp;lt;` single-decodes to
+    * `&lt;` instead of double-decoding to `<`), collapse whitespace runs,
+    * trim. Pure codegen'd regexp/replace chain — no UDF — and every
+    * construct has the same semantics in DuckDB, so oracles replay it
+    * verbatim. */
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      cleanedCol(col(textCol)).as("cleaned"))
+
+  private[ops] def cleanedCol(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val noTags = regexp_replace(t, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val LongNumRe = "[0-9]{9,}"
+
+  /** PII redaction (the pre-training scrub pass): emails, IPv4 literals
+    * and 9+-digit runs (phone/SSN/account shapes) are replaced by typed
+    * placeholders, IN THAT ORDER (an email's host digits must not be
+    * re-counted as a number). Emits the redacted text plus per-category
+    * counts so the drop-rate is observable per corpus slice. Same
+    * regex dialect subset in Spark (Java regex) and DuckDB (RE2), so
+    * oracles replay it. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val afterNum = regexp_replace(afterIp, LongNumRe, "<NUM>")
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      afterNum.as("redacted"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(LongNumRe)).cast("long").as("n_longnums"))
+  }
 }

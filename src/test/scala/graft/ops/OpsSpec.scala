@@ -269,6 +269,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == 20 && got.forall(_._2 == 0L))
   }
 
+  test("stripMarkup: tags dropped, entities single-decoded, whitespace " +
+      "collapsed") {
+    val df = Seq((1L,
+      "<div class='a'>Hello &amp;lt; <b>world</b>&#39;s &quot;x&quot;</div>\n\n tail  "))
+      .toDF("doc_id", "text")
+    val out = TextStats.stripMarkup(df, "doc_id", "text").first()
+    // &amp;lt; must decode ONCE to &lt; (amp decoded last), never to <;
+    // tags become a SPACE (so "foo<br>bar" never glues to "foobar"),
+    // hence "world 's" — the collapse only merges runs, not tag gaps
+    assert(out.getString(1) == "Hello &lt; world 's \"x\" tail")
+  }
+
+  test("redactPii: emails, IPv4s, long digit runs typed + counted in order") {
+    val df = Seq((1L,
+      "mail a.b@x.co or c9@y.org ip 10.0.0.1 acct 123456789 n 12345678 end"))
+      .toDF("doc_id", "text")
+    val r = TextStats.redactPii(df, "doc_id", "text").first()
+    assert(r.getString(1) ==
+      "mail <EMAIL> or <EMAIL> ip <IP> acct <NUM> n 12345678 end")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 1 && r.getLong(4) == 1)
+  }
+
   test("multimodal: stub features have the right shape and determinism") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
