@@ -1384,6 +1384,31 @@ object SparkEntry {
           col("pixel_sum"))
     }),
 
+    "q78_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 50th doc is the EVAL set; train
+      // docs sharing >= 8 distinct byte-8-grams with it are flagged. The
+      // eval gram set is broadcast and the 100 TB train side is a
+      // map-only probe (no shuffle). Contamination is PLANTED (train
+      // docs with doc_id % 97 == 3 append their floor-50 eval doc's
+      // text) so contaminated=true rows exist at every SF; the oracle
+      // replays plant + overlap with exact hex-substring grams
+      val docs = t(s, dir, "documents")
+      val eval_ = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = base.as("t").join(
+          eval_.select(col("doc_id").as("eid"), col("text").as("etext"))
+            .as("e"),
+          col("t.doc_id") - col("t.doc_id") % 50 === col("eid"), "left")
+        .select(col("t.doc_id").as("doc_id"),
+          when(col("t.doc_id") % 97 === 3 && col("etext").isNotNull,
+            concat(col("t.text"), lit(" "), col("etext")))
+            .otherwise(col("t.text")).as("text"))
+      graft.ops.Decontaminate.overlap(s, planted, eval_, "doc_id", "text",
+        k = 8, minOverlap = 8)
+    }),
+
     "q77_text_clean" -> ((s, dir) => {
       // the scraped-web cleaning pass: markup strip (tags + entity
       // decode + whitespace collapse) THEN PII redaction (emails, IPv4s,
@@ -2470,6 +2495,39 @@ object SparkEntry {
         |  CAST(list_sum([(i*31 + doc_id*7) % 256
         |    for i in generate_series(0, 127)]) AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
+
+    // exact replay of plant + n-gram overlap via hex-substring grams
+    // (the q49/q51 gram convention); counts are per-train-doc DISTINCT
+    // shared grams against the union of all eval docs' grams
+    "q78_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS eid, text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |tr AS (
+        |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |    CASE WHEN d.doc_id % 97 = 3 AND e.text IS NOT NULL
+        |         THEN d.text || ' ' || e.text ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN ev e
+        |    ON CAST(d.doc_id AS BIGINT)
+        |       - (CAST(d.doc_id AS BIGINT) % 50) = e.eid
+        |  WHERE d.doc_id % 50 <> 0),
+        |eg AS (
+        |  SELECT DISTINCT unnest([substr(hex(encode(text)), 2*i - 1, 16)
+        |    for i in generate_series(1,
+        |      CAST(strlen(text) AS BIGINT) - 7)]) AS g
+        |  FROM ev),
+        |tg AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([substr(hex(encode(text)), 2*i - 1, 16)
+        |      for i in generate_series(1,
+        |        CAST(strlen(text) AS BIGINT) - 7)])) AS g
+        |  FROM tr),
+        |ov AS (SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM tg JOIN eg USING (g) GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(ov.n, 0) AS n_overlap,
+        |  COALESCE(ov.n, 0) >= 8 AS contaminated
+        |FROM tr t LEFT JOIN ov ON t.doc_id = ov.doc_id""".stripMargin,
 
     // replay of plant -> strip -> redact with the same regex subset
     // (Java regex and RE2 agree on it); counts are taken at each stage

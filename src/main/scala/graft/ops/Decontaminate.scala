@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark DECONTAMINATION for training corpora: flag training documents
+ * that share at least `minOverlap` distinct byte n-grams with ANY
+ * evaluation document — the standard pre-training hygiene pass that keeps
+ * eval data out of the training set (n-gram overlap is the published
+ * GPT-3/PaLM-style criterion).
+ *
+ * Scale shape: the EVAL side is small by nature (benchmarks, not
+ * corpora), so its distinct gram-hash set is collected once and
+ * broadcast; the TRAINING side — the 100 TB side — is a MAP-ONLY probe
+ * (per-row distinct grams via the codegen'd shingle expression, counted
+ * against the broadcast set), no shuffle, no join. Grams are the same
+ * w==k full-gram hash sets the classify oracles replay as hex
+ * substrings, so a SQL oracle can recompute overlap counts exactly.
+ */
+object Decontaminate {
+
+  /** @return (doc_id, n_overlap, contaminated) for every training row;
+    *         n_overlap = |distinct k-grams(train doc) ∩ distinct
+    *         k-grams(all eval docs)|. */
+  def overlap(spark: SparkSession, train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      minOverlap: Int = 8): DataFrame = {
+    import spark.implicits._
+    val gramsOf = (t: org.apache.spark.sql.Column) =>
+      graft.spark.ShinglesExpr.col(coalesce(t, lit("")), k, k,
+        graft.core.Hashing.DefaultSeed)
+    // eval grams: distinct across the whole eval set, sorted for
+    // branch-free binary search on the hot path
+    val evalGrams = eval.select(explode(gramsOf(col(textCol))).as("g"))
+      .distinct().as[Long].collect().sorted
+    val egB = spark.sparkContext.broadcast(evalGrams)
+    val countIn = udf((hs: Array[Long]) => {
+      val eg = egB.value
+      var n = 0
+      var i = 0
+      while (i < hs.length) {
+        if (java.util.Arrays.binarySearch(eg, hs(i)) >= 0) n += 1
+        i += 1
+      }
+      n.toLong
+    })
+    train.select(col(idCol).cast("long").as("doc_id"),
+        countIn(gramsOf(col(textCol))).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+}

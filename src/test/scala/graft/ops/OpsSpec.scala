@@ -291,6 +291,22 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 2 && r.getLong(3) == 1 && r.getLong(4) == 1)
   }
 
+  test("decontaminate: overlap counts distinct shared grams, flags at " +
+      "the threshold, zero for disjoint docs") {
+    val eval_ = Seq((100L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "xx cdefghijklmn yy"), // 12-char substring => 5 shared 8-grams
+      (2L, "zzzzzzzzzzzzzzzzzzzz"), // disjoint
+      (3L, "abcdefghijklmnop")) // full copy => 9 shared 8-grams
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(spark, train, eval_, "doc_id", "text",
+        k = 8, minOverlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 5L, false), (2L, 0L, false),
+      (3L, 9L, true)))
+  }
+
   test("multimodal: stub features have the right shape and determinism") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
