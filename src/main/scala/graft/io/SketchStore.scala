@@ -615,10 +615,15 @@ object SketchStore {
     val p = new Path(pinsDir(dir), s"pin_$id")
     val fs = p.getFileSystem(conf)
     fs.mkdirs(pinsDir(dir))
-    val out = fs.create(p, false)
+    // write-tmp-then-rename, like every other commit in this store: a
+    // concurrent gc (e.g. an ingest stream's per-commit gc) must never
+    // list a visible-but-still-empty pin file
+    val tmp = new Path(pinsDir(dir), s".pin_$id.tmp")
+    val out = fs.create(tmp, false)
     try out.write(gen.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(fs.rename(tmp, p), s"pin commit rename failed: $p")
     id
   }
 
@@ -628,7 +633,10 @@ object SketchStore {
     p.getFileSystem(conf).delete(p, false)
   }
 
-  /** Generations currently pinned by registered readers (deduplicated). */
+  /** Generations currently pinned by registered readers (deduplicated).
+    * Only committed `pin_*` files count — `.pin_*.tmp` residue of a
+    * crashed [[pin]] is invisible (and empty/garbled files are a store
+    * bug worth failing loudly on, since commits are rename-atomic). */
   def pinnedGenerations(conf: Configuration, dir: String): Seq[Int] = {
     val d = pinsDir(dir)
     val fs = d.getFileSystem(conf)

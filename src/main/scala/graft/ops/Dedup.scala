@@ -204,18 +204,27 @@ object Dedup {
   /**
    * Keep ONE document per duplicate cluster: every doc gets its cluster
    * representative (itself when it appears in no pair) and a `kept` flag
-   * (true iff it IS the representative — the cluster's minimum id, so
-   * the survivor set is deterministic). This is the end-to-end dedup
-   * verb: pairs in, kept-set out, exactly one survivor per cluster.
+   * (true iff it IS the representative, so the survivor set is
+   * deterministic). The representative is the cluster's minimum id
+   * AMONG THE DOCS PRESENT: when `docs` is a slice of the corpus the
+   * pairs were generated on (a partition being rewritten, a source
+   * split), a cluster whose global minimum fell outside the slice is
+   * re-rooted to its smallest present member instead of silently losing
+   * ALL its members from the kept-set — every cluster with at least one
+   * present doc keeps exactly one.
    */
   def keepOnePerCluster(spark: SparkSession, docs: DataFrame, idCol: String,
       pairs: DataFrame, idA: String = "doc_a", idB: String = "doc_b")
       : DataFrame = {
     val comps = connectedComponents(spark, pairs, idA, idB)
-    docs.select(col(idCol).cast("long").as("id"))
+    val labeled = docs.select(col(idCol).cast("long").as("id"))
       .join(comps, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("rep"), col("id")).as("rep"))
+      .select(col("id"), coalesce(col("rep"), col("id")).as("comp"))
+    // re-root each component to its minimum PRESENT member (small
+    // aggregate: one row per component)
+    val reps = labeled.groupBy("comp").agg(min(col("id")).as("rep"))
+    labeled.join(reps, Seq("comp"))
+      .select(col("id").as(idCol), col("rep"))
       .withColumn("kept", col(idCol) === col("rep"))
   }
 }

@@ -257,14 +257,13 @@ object Gif {
         require(code < next || (code == next && prev != -1),
           s"corrupt GIF LZW: code $code beyond dictionary $next")
         val first =
-          if (code == next) { // KwKwK: entry being defined right now
-            val f = emitPrefixFirst(prefix, append, clear, prev)
-            // expansion of prev followed by its own first byte
-            val before = outN
-            emit(prev)
+          if (code == next) { // KwKwK: entry being defined right now —
+            // its expansion is prev's expansion followed by prev's own
+            // first byte (which emit returns)
+            val f = emit(prev)
             require(outN < expected, "corrupt GIF LZW: too many pixels")
             out(outN) = f; outN += 1
-            out(before) // first byte of the new entry == first of prev
+            f
           } else emit(code)
         if (prev != -1 && next < 4096) {
           prefix(next) = prev; append(next) = first
@@ -279,10 +278,4 @@ object Gif {
     out
   }
 
-  private def emitPrefixFirst(prefix: Array[Int], append: Array[Byte],
-      clear: Int, code: Int): Byte = {
-    var c = code
-    while (c >= clear + 2) c = prefix(c)
-    c.toByte
-  }
 }

@@ -184,6 +184,12 @@ object StreamClassify {
               spark.streams.removeListener(this)
               val b = state.dbB
               state.dbB = null
+              // reset the rotation marker too: a RESTART of the same
+              // writer with no new commit in between must reload rather
+              // than reuse the destroyed broadcast — and the hook must
+              // re-register (restarts keep the query id)
+              state.gen = -1
+              listenerFor = null
               if (b != null) b.destroy()
               state.released = true
             }
@@ -284,6 +290,12 @@ object StreamClassify {
       p: graft.build.IbfParams = graft.build.IbfParams(),
       gcKeepGens: Option[Int] = None, ingestId: String = "ingest",
       batchId: Long): Boolean = {
+    // the reader-race floor holds on THIS public entry point too, not
+    // just the streaming wrapper — recovery tooling replaying a batch
+    // with keep=1 would race a live classifier exactly the same way
+    gcKeepGens.foreach(k => require(k >= 2,
+      s"gcKeepGens=$k: must keep >= 2 generations (one-batch live-reader " +
+        "race; see ingestForeachBatch)"))
     val conf = spark.sparkContext.hadoopConfiguration
     val applied = graft.io.SketchStore.lastIngestCommit(conf, storeDir)
     if (applied.exists { case (id, b) => id == ingestId && b >= batchId })

@@ -17,9 +17,10 @@ object EmScale {
     val nTargets = if (args.length > 0) args(0).toInt else 1000000
     val nReads = if (args.length > 1) args(1).toInt else 2000000
     val cands = if (args.length > 2) args(2).toInt else 4
+    // NOTE: driver heap comes from the launching JVM (sbt/JAVA_OPTS) —
+    // spark.driver.memory set here would be inert in an in-process master
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.driver.memory", "8g")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

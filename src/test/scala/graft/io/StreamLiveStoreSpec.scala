@@ -228,6 +228,42 @@ class StreamLiveStoreSpec extends AnyFunSuite {
     assert(state.dbB == null)
   }
 
+  test("restarting the same live-classify writer after stop reloads the " +
+      "generation instead of reusing the destroyed broadcast") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Corpus.df(spark, 40, numRepos = 4, partitions = 2).cache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_restart").toString
+    SketchBuild.buildToStore(spark, corpus, "repo", "content", dir,
+      IbfParams(k = 8, w = 8, maxFp = 1e-5))
+    val probe = corpus.select($"path".as("id"), $"content").limit(3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+    val ms = MemoryStream[(String, String)]
+    var batches = 0
+    val (writer, state) = StreamClassify.classifyLiveStoreTracked(spark,
+        ms.toDF().toDF("id", "content"), "id", "content", dir, cp) {
+        (out, _, _) => out.count(); batches += 1
+      }
+    val q1 = writer.start()
+    ms.addData(probe: _*); q1.processAllAvailable(); q1.stop()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (!state.released && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(state.released && state.dbB == null && state.gen == -1)
+
+    // SAME writer, no new store commit in between: the first batch of
+    // the second run must re-broadcast, not NPE on the destroyed handle
+    state.released = false
+    val q2 = writer.start()
+    ms.addData(probe: _*); q2.processAllAvailable(); q2.stop()
+    assert(batches == 2, "second run must classify its batch")
+    val deadline2 = System.nanoTime() + 10_000_000_000L
+    while (!state.released && System.nanoTime() < deadline2) Thread.sleep(50)
+    assert(state.released, "second stop must release again (hook re-registers)")
+  }
+
   test("composition: an ingest stream and a classify stream share one " +
       "store; the classifier picks up each ingested generation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -240,6 +240,19 @@ class OpsSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false), (99L, 99L, true)))
   }
 
+  test("keepOnePerCluster: a docs SLICE missing the cluster's global " +
+      "minimum re-roots to the smallest present member (never zero " +
+      "survivors)") {
+    // pairs were generated on the full corpus; docs is a slice without
+    // doc 3 — the cluster {3,5,6} must still keep exactly one of {5,6}
+    val pairs = Seq((3L, 5L), (3L, 6L)).toDF("doc_a", "doc_b")
+    val docs = Seq(5L, 6L).toDF("id")
+    val out = Dedup.keepOnePerCluster(spark, docs, "id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((5L, 5L, true), (6L, 5L, false)))
+  }
+
   test("connected components: random graph matches a union-find oracle") {
     val rnd = new scala.util.Random(7)
     val n = 60
