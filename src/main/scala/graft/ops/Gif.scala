@@ -167,6 +167,9 @@ object Gif {
         case 0x2C =>
           le16(); le16() // left, top (single-frame contract: ignored)
           val w = le16(); val h = le16()
+          require(w > 0 && h > 0 &&
+            w.toLong * h * 3 <= Png.MaxRasterBytes,
+            s"GIF raster ${w}x$h exceeds the decode cap (corrupt header?)")
           val ip = u8()
           var pal = palette
           if ((ip & 0x80) != 0) { // local color table overrides

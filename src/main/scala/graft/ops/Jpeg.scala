@@ -408,6 +408,11 @@ object Jpeg {
           }
           require(comps.length == 1 || comps.length == 3,
             s"unsupported component count ${comps.length}")
+          comps.foreach(c => require(c.hf >= 1 && c.hf <= 4 &&
+            c.vf >= 1 && c.vf <= 4, s"bad sampling factors ${c.hf}x${c.vf}"))
+          require(width.toLong * height * 3 <= Png.MaxRasterBytes,
+            s"JPEG raster ${width}x$height exceeds the decode cap " +
+              "(corrupt header?)")
           pos = end
         case 0xC2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) not supported — baseline only")

@@ -189,10 +189,7 @@ object Multimodal {
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[ImageMeta] = {
     import spark.implicits._
     decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
-      if (Png.isPng(p)) Some(imageMeta(id, Png.decode(p)))
-      else if (Jpeg.isJpeg(p)) Some(imageMeta(id, Jpeg.decode(p)))
-      else if (Gif.isGif(p)) Some(imageMeta(id, Gif.decode(p)))
-      else None
+      decodeImage(p).map(img => imageMeta(id, img))
     }
   }
 
@@ -216,15 +213,22 @@ object Multimodal {
     }
   }
 
-  /** Decode + nearest-neighbor RESIZE over PNG payloads, emitting the
-    * resized image's meta ([[Png.resizeNearest]] — exact-integer index
-    * mapping, so oracles replay it). */
+  /** Signature-dispatched decode shared by the image verbs. */
+  private def decodeImage(p: Array[Byte]): Option[Png.Image] =
+    if (Png.isPng(p)) Some(Png.decode(p))
+    else if (Jpeg.isJpeg(p)) Some(Jpeg.decode(p))
+    else if (Gif.isGif(p)) Some(Gif.decode(p))
+    else None
+
+  /** Decode + nearest-neighbor RESIZE over image payloads (PNG/JPEG/GIF,
+    * dispatched by signature), emitting the resized image's meta
+    * ([[Png.resizeNearest]] — exact-integer index mapping, so oracles
+    * replay it; the raster type is codec-blind). */
   def resizeImages(spark: SparkSession, media: DataFrame, w2: Int, h2: Int,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Dataset[ImageMeta] = {
     import spark.implicits._
     decodeMapped(spark, media, targetPartitionBytes) { (id, p) =>
-      if (!Png.isPng(p)) None
-      else Some(imageMeta(id, Png.resizeNearest(Png.decode(p), w2, h2)))
+      decodeImage(p).map(img => imageMeta(id, Png.resizeNearest(img, w2, h2)))
     }
   }
 

@@ -24,6 +24,12 @@ object Png {
   final case class Image(width: Int, height: Int, channels: Int,
       pixels: Array[Byte])
 
+  /** Decode-side allocation cap shared by all the image codecs: the
+    * largest raster a single payload may decode to (1 GiB). Corrupt
+    * headers in a scraped corpus routinely declare absurd dimensions;
+    * the decoders throw (per-row quarantine) instead of allocating. */
+  private[ops] val MaxRasterBytes = 1L << 30
+
   private val Signature = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
     .map(_.toByte)
 
@@ -149,8 +155,15 @@ object Png {
       if (!done) bb.getInt() // crc (trusted input; integrity not re-checked)
     }
     require(width > 0 && height > 0 && channels > 0, "missing IHDR")
+    // size sanity BEFORE allocating: in a scraped corpus a flipped header
+    // byte must throw (quarantined per row), never Int-overflow the
+    // stride math or OOM an executor with a multi-GB raster
+    val rawLen = (width.toLong * channels + 1) * height
+    require(rawLen <= MaxRasterBytes,
+      s"PNG raster ${width}x$height x$channels exceeds the " +
+        s"$MaxRasterBytes-byte decode cap (corrupt header?)")
     val stride = width * channels
-    val raw = new Array[Byte]((stride + 1) * height)
+    val raw = new Array[Byte](rawLen.toInt)
     val infl = new Inflater()
     infl.setInput(idat.toByteArray)
     var off = 0

@@ -106,6 +106,8 @@ object Y4m {
       s"only mono and 8-bit 4:2:0 colorspaces supported, got C$cs")
     require(mono || (w % 2 == 0 && h % 2 == 0),
       s"4:2:0 needs even dimensions, got ${w}x$h")
+    require(w.toLong * h * 3 / 2 <= Png.MaxRasterBytes,
+      s"Y4M frame ${w}x$h exceeds the decode cap (corrupt header?)")
     val fb = if (mono) w * h else w * h + 2 * ((w / 2) * (h / 2))
     val frames = Array.newBuilder[Array[Byte]]
     var off = hdrEnd
