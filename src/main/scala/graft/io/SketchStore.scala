@@ -733,6 +733,18 @@ object SketchStore {
           }
         }
         if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+      } else if (name == "pins") {
+        // residue of a pin() that crashed between create and rename:
+        // invisible to pinnedGenerations but otherwise immortal — the
+        // same orphan class as shard .tmp files, swept the same way
+        fs.listStatus(p).foreach { st =>
+          val bn = st.getPath.getName
+          if (bn.startsWith(".pin_") && bn.endsWith(".tmp")) {
+            files += 1
+            bytes += st.getLen
+            fs.delete(st.getPath, false)
+          }
+        }
       } else if (name.startsWith("LOCK_gen_") &&
           name.stripPrefix("LOCK_gen_").toInt <= cur) {
         fs.delete(p, false) // committed generations never hold a live lock

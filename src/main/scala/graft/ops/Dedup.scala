@@ -217,13 +217,18 @@ object Dedup {
       pairs: DataFrame, idA: String = "doc_a", idB: String = "doc_b")
       : DataFrame = {
     val comps = connectedComponents(spark, pairs, idA, idB)
-    val labeled = docs.select(col(idCol).cast("long").as("id"))
-      .join(comps, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("comp"))
-    // re-root each component to its minimum PRESENT member (small
-    // aggregate: one row per component)
-    val reps = labeled.groupBy("comp").agg(min(col("id")).as("rep"))
-    labeled.join(reps, Seq("comp"))
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    // only docs that appear in a pair need component bookkeeping; the
+    // (typically corpus-sized) isolated remainder passes through with
+    // rep = id and NO shuffle beyond the join against the small comps
+    // relation — re-rooting must never cost a full-corpus groupBy
+    val paired = ids.join(comps, Seq("id")) // (id, rep): paired & present
+    val reps = paired.groupBy("rep").agg(min(col("id")).as("minPresent"))
+    val rerooted = paired.join(reps, Seq("rep"))
+      .select(col("id"), col("minPresent").as("rep"))
+    val isolated = ids.join(comps.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("rep"))
+    rerooted.unionByName(isolated)
       .select(col("id").as(idCol), col("rep"))
       .withColumn("kept", col(idCol) === col("rep"))
   }

@@ -149,9 +149,15 @@ object StreamClassify {
   /** Rotation state of one [[classifyLiveStore]] stream, exposed so tests
     * can observe the termination-time broadcast release. */
   private[graft] final class LiveStoreState {
-    @volatile private[graft] var gen: Int = -1
-    @volatile private[graft] var dbB:
+    // ALL fields guarded by `this.synchronized` — the microbatch thread
+    // (rotation) and the listener-bus thread (release) both mutate them
+    private[graft] var gen: Int = -1
+    private[graft] var dbB:
       org.apache.spark.broadcast.Broadcast[ProbeDb] = null
+    /** runId of the stream run that currently OWNS the state — a late
+      * termination event from a superseded run must not release the
+      * broadcast the new run is using. */
+    private[graft] var activeRun: String = null
     @volatile private[graft] var released = false
   }
 
@@ -160,63 +166,73 @@ object StreamClassify {
       cp: ClassifyParams = ClassifyParams())(
       sink: (DataFrame, Long, Int) => Unit)
       : (DataStreamWriter[Row], LiveStoreState) = {
-    // driver-side rotation state: foreachBatch bodies run sequentially on
-    // the stream's microbatch thread, so plain vars need no locking
     val state = new LiveStoreState
     // counts EXECUTED partitions of each batch's output plan — the cheap
     // observable that distinguishes "sink materialized" from "sink only
     // held the lazy plan"
     val execAcc = spark.sparkContext.longAccumulator("graft.live.exec")
-    var listenerFor: String = null
     val writer = stream.writeStream.foreachBatch {
         (batch: Dataset[Row], batchId: Long) =>
-      // register the termination hook once per query: the query id is only
-      // knowable from inside the stream execution thread (local property)
-      val qid = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
-      if (qid != null && qid != listenerFor) {
-        listenerFor = qid
-        val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
-          import org.apache.spark.sql.streaming.StreamingQueryListener._
-          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-            if (e.id.toString == qid) {
-              spark.streams.removeListener(this)
-              val b = state.dbB
-              state.dbB = null
-              // reset the rotation marker too: a RESTART of the same
-              // writer with no new commit in between must reload rather
-              // than reuse the destroyed broadcast — and the hook must
-              // re-register (restarts keep the query id)
-              state.gen = -1
-              listenerFor = null
-              if (b != null) b.destroy()
-              state.released = true
-            }
-        }
-        spark.streams.addListener(l)
-      }
+      // the run id is only knowable from inside the stream execution
+      // thread: StreamExecution sets the spark JOB GROUP to runId (the
+      // cancel key the engine itself uses). RESTARTS of the same writer
+      // get a fresh runId, so ownership transfers run to run and a
+      // restart racing the previous run's (asynchronous) termination
+      // event can never have its broadcast destroyed under it. If a
+      // future Spark stops setting the group this degrades to
+      // never-releasing (a bounded leak), never to a wrong destroy —
+      // the spec's released assertion would catch the regression.
+      val runId = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
       val conf = spark.sparkContext.hadoopConfiguration
       val cur = graft.io.SketchStore.currentGeneration(conf, storeDir)
         .getOrElse(throw new IllegalStateException(
           s"$storeDir has no committed generation"))
-      if (cur != state.gen) {
-        // loadForProbe: a two-level store rotates in as the LAZY handle
-        // (coarse + metadata broadcast; shards fetch per executor) — an
-        // eager load would pull the whole store through the driver at
-        // every rotation
-        val db = graft.io.SketchStore.loadForProbe(spark, storeDir)
-        val old = state.dbB
-        state.dbB = spark.sparkContext.broadcast(db)
-        state.gen = cur
-        if (old != null) old.destroy()
+      val (dbForBatch, genForBatch) = state.synchronized {
+        if (runId != null && runId != state.activeRun) {
+          // this run takes ownership and registers ITS release hook
+          state.activeRun = runId
+          state.released = false
+          val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            import org.apache.spark.sql.streaming.StreamingQueryListener._
+            override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+            override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+            override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+              if (e.runId.toString == runId) {
+                spark.streams.removeListener(this)
+                state.synchronized {
+                  // release only if no newer run took the state over
+                  if (state.activeRun == runId) {
+                    val b = state.dbB
+                    state.dbB = null
+                    state.gen = -1
+                    state.activeRun = null
+                    if (b != null) b.destroy()
+                    state.released = true
+                  }
+                }
+              }
+          }
+          spark.streams.addListener(l)
+        }
+        if (cur != state.gen) {
+          // loadForProbe: a two-level store rotates in as the LAZY handle
+          // (coarse + metadata broadcast; shards fetch per executor) — an
+          // eager load would pull the whole store through the driver at
+          // every rotation
+          val db = graft.io.SketchStore.loadForProbe(spark, storeDir)
+          val old = state.dbB
+          state.dbB = spark.sparkContext.broadcast(db)
+          state.gen = cur
+          if (old != null) old.destroy()
+        }
+        (state.dbB, state.gen)
       }
       val out0 = Classify.allMatches(Classify.classifyB(
-        spark, batch.toDF(), idCol, contentCol, state.dbB, cp))
+        spark, batch.toDF(), idCol, contentCol, dbForBatch, cp))
       val before = execAcc.value
       val out = out0.mapPartitions { it => execAcc.add(1L); it }(
         org.apache.spark.sql.Encoders.row(out0.schema))
-      sink(out.toDF(), batchId, state.gen)
+      sink(out.toDF(), batchId, genForBatch)
       // happy path (sink ran the plan) costs nothing extra; the batch
       // check on the raw input runs only when no task ever executed
       if (execAcc.value == before && !batch.isEmpty)

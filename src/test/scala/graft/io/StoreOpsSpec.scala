@@ -147,9 +147,18 @@ class StoreOpsSpec extends AnyFunSuite {
     // residue of an executor attempt that lost the commit rename race
     val orphan = new java.io.File(s"$dir/shards_v1/.grp_0.bin.12345.tmp")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // residue of a pin() that crashed between create and rename — but a
+    // COMMITTED pin must survive the sweep
+    new java.io.File(s"$dir/pins").mkdirs()
+    val pinOrphan = new java.io.File(s"$dir/pins/.pin_deadbeef.tmp")
+    java.nio.file.Files.write(pinOrphan.toPath, Array[Byte](9))
+    val pinId = SketchStore.pin(conf, dir, 1)
     val r = SketchStore.gcGenerationsReport(spark, dir, keepGens = 2)
     assert(!orphan.exists(), "orphaned tmp must be reclaimed")
-    assert(r.files >= 1 && r.bytes >= 3)
+    assert(!pinOrphan.exists(), "orphaned pin tmp must be reclaimed")
+    assert(new java.io.File(s"$dir/pins/pin_$pinId").exists(),
+      "committed pins survive the sweep")
+    assert(r.files >= 2 && r.bytes >= 4)
     // the store is untouched otherwise
     val back = SketchStore.loadTwoLevelLazy(spark, dir)
     assert(matchesOf(back, batchDf(b0)).nonEmpty)

@@ -20,10 +20,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     var decoded = 0; var threw = 0
     for (_ <- 1 to rounds) {
       val mutated =
-        if (rnd.nextBoolean()) { // flip one byte anywhere (headers too)
+        if (rnd.nextBoolean()) { // flip one bit IN PLACE (headers too)
           val m = valid.clone()
-          m(rnd.nextInt(m.length)) =
-            (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+          val i = rnd.nextInt(m.length)
+          m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
           m
         } else valid.take(rnd.nextInt(valid.length)) // truncate
       try { decode(mutated); decoded += 1 }
