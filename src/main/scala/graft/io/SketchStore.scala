@@ -735,11 +735,17 @@ object SketchStore {
         if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
       } else if (name == "pins") {
         // residue of a pin() that crashed between create and rename:
-        // invisible to pinnedGenerations but otherwise immortal — the
-        // same orphan class as shard .tmp files, swept the same way
+        // invisible to pinnedGenerations but otherwise immortal. Unlike
+        // shard tmps (provably dead once their generation committed), a
+        // pin tmp has no commit point to gate on — an IN-FLIGHT pin()
+        // looks identical to a crashed one — so only sweep tmps older
+        // than a grace window no healthy create-to-rename gap can reach
+        val grace = 10 * 60 * 1000L
+        val now = System.currentTimeMillis()
         fs.listStatus(p).foreach { st =>
           val bn = st.getPath.getName
-          if (bn.startsWith(".pin_") && bn.endsWith(".tmp")) {
+          if (bn.startsWith(".pin_") && bn.endsWith(".tmp") &&
+              now - st.getModificationTime > grace) {
             files += 1
             bytes += st.getLen
             fs.delete(st.getPath, false)

@@ -217,7 +217,12 @@ object Dedup {
       pairs: DataFrame, idA: String = "doc_a", idB: String = "doc_b")
       : DataFrame = {
     val comps = connectedComponents(spark, pairs, idA, idB)
+    // a null id (or an id that nulls out under the long cast) has no
+    // identity to dedup by: drop it explicitly — otherwise the isolated
+    // pass-through below would emit a (null, null, null) row whose
+    // kept flag is neither true nor false
     val ids = docs.select(col(idCol).cast("long").as("id"))
+      .na.drop(Seq("id"))
     // only docs that appear in a pair need component bookkeeping; the
     // (typically corpus-sized) isolated remainder passes through with
     // rep = id and NO shuffle beyond the join against the small comps

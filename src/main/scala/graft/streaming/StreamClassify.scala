@@ -149,15 +149,16 @@ object StreamClassify {
   /** Rotation state of one [[classifyLiveStore]] stream, exposed so tests
     * can observe the termination-time broadcast release. */
   private[graft] final class LiveStoreState {
-    // ALL fields guarded by `this.synchronized` — the microbatch thread
-    // (rotation) and the listener-bus thread (release) both mutate them
-    private[graft] var gen: Int = -1
-    private[graft] var dbB:
+    // mutations guarded by `this.synchronized` (microbatch thread rotates,
+    // listener-bus thread releases); fields stay volatile too so unlocked
+    // OBSERVERS (tests) read coherently
+    @volatile private[graft] var gen: Int = -1
+    @volatile private[graft] var dbB:
       org.apache.spark.broadcast.Broadcast[ProbeDb] = null
     /** runId of the stream run that currently OWNS the state — a late
       * termination event from a superseded run must not release the
       * broadcast the new run is using. */
-    private[graft] var activeRun: String = null
+    @volatile private[graft] var activeRun: String = null
     @volatile private[graft] var released = false
   }
 
@@ -187,7 +188,12 @@ object StreamClassify {
       val cur = graft.io.SketchStore.currentGeneration(conf, storeDir)
         .getOrElse(throw new IllegalStateException(
           s"$storeDir has no committed generation"))
-      val (dbForBatch, genForBatch) = state.synchronized {
+      // FIRST lock section: ownership + hook registration + staleness
+      // check. Kept FAST — the listener takes this same lock on the
+      // session's shared listener-bus thread, so holding it across a
+      // Spark job (loadForProbe) or a blocking destroy would stall every
+      // listener in the session and can drop events
+      val needRotate = state.synchronized {
         if (runId != null && runId != state.activeRun) {
           // this run takes ownership and registers ITS release hook
           state.activeRun = runId
@@ -199,34 +205,51 @@ object StreamClassify {
             override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
               if (e.runId.toString == runId) {
                 spark.streams.removeListener(this)
-                state.synchronized {
+                val toDestroy = state.synchronized {
                   // release only if no newer run took the state over
                   if (state.activeRun == runId) {
                     val b = state.dbB
                     state.dbB = null
                     state.gen = -1
                     state.activeRun = null
-                    if (b != null) b.destroy()
-                    state.released = true
-                  }
+                    b
+                  } else null
                 }
+                if (toDestroy != null) toDestroy.destroy()
+                if (state.activeRun == null) state.released = true
               }
           }
           spark.streams.addListener(l)
         }
-        if (cur != state.gen) {
-          // loadForProbe: a two-level store rotates in as the LAZY handle
-          // (coarse + metadata broadcast; shards fetch per executor) — an
-          // eager load would pull the whole store through the driver at
-          // every rotation
-          val db = graft.io.SketchStore.loadForProbe(spark, storeDir)
-          val old = state.dbB
-          state.dbB = spark.sparkContext.broadcast(db)
-          state.gen = cur
-          if (old != null) old.destroy()
-        }
-        (state.dbB, state.gen)
+        cur != state.gen
       }
+      val (dbForBatch, genForBatch) =
+        if (!needRotate) state.synchronized((state.dbB, state.gen))
+        else {
+          // rotation work OUTSIDE the lock: loadForProbe is a driver
+          // Spark job and broadcast/destroy can block. Only this query's
+          // microbatch thread rotates, so the gen can't change under us;
+          // the one competitor is our own termination listener (stop()
+          // mid-batch), handled by the ownership re-check at swap time
+          val db = graft.io.SketchStore.loadForProbe(spark, storeDir)
+          val fresh = spark.sparkContext.broadcast(db)
+          val old = state.synchronized {
+            if (state.activeRun != runId) {
+              // terminated during the load: the batch is dead anyway —
+              // don't leak the broadcast we just made
+              fresh.destroy()
+              throw new IllegalStateException(
+                "classifyLiveStore query terminated during generation " +
+                  "rotation")
+            }
+            val o = state.dbB
+            state.dbB = fresh
+            state.gen = cur
+            o
+          }
+          if (old != null) old.destroy()
+          (fresh, cur)
+        }
       val out0 = Classify.allMatches(Classify.classifyB(
         spark, batch.toDF(), idCol, contentCol, dbForBatch, cp))
       val before = execAcc.value

@@ -152,10 +152,17 @@ class StoreOpsSpec extends AnyFunSuite {
     new java.io.File(s"$dir/pins").mkdirs()
     val pinOrphan = new java.io.File(s"$dir/pins/.pin_deadbeef.tmp")
     java.nio.file.Files.write(pinOrphan.toPath, Array[Byte](9))
+    // age the orphan past the sweep's grace window (an in-flight pin's
+    // fresh tmp must NOT be swept — that's the window's whole point)
+    assert(pinOrphan.setLastModified(
+      System.currentTimeMillis() - 11 * 60 * 1000L))
+    val fresh = new java.io.File(s"$dir/pins/.pin_inflight.tmp")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](8))
     val pinId = SketchStore.pin(conf, dir, 1)
     val r = SketchStore.gcGenerationsReport(spark, dir, keepGens = 2)
     assert(!orphan.exists(), "orphaned tmp must be reclaimed")
-    assert(!pinOrphan.exists(), "orphaned pin tmp must be reclaimed")
+    assert(!pinOrphan.exists(), "aged orphaned pin tmp must be reclaimed")
+    assert(fresh.exists(), "a fresh pin tmp (possibly in-flight) survives")
     assert(new java.io.File(s"$dir/pins/pin_$pinId").exists(),
       "committed pins survive the sweep")
     assert(r.files >= 2 && r.bytes >= 4)
