@@ -729,30 +729,46 @@ object SketchBuild {
     val parts = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
-    // per-(row x spanned-group) hash subsets, computed map-side so the one
-    // shuffle carries exactly the per-row-deduped hashes, no duplication
-    val route = udf((hs: Array[Long], base: Int, split: Int) => {
-      if (hs == null || hs.isEmpty) Array.empty[(Int, Array[Long])]
-      else if (split == 1) Array((base / 64, hs))
+    // SPLIT-FREE layouts (every target fits one technical bin — the common
+    // case whenever maxHashesBin covers the largest target): a row's whole
+    // hash set lands in the single group base/64, so routing is a pure
+    // column function — no per-row UDF invoke, tuple allocation or
+    // generic explode on the build hot path (guide §4: built-ins over
+    // closures). Split layouts keep the per-hash routing UDF below;
+    // either path feeds IbfShardAgg, which re-routes per hash anyway.
+    val anySplit = entries.exists(_._3 > 1)
+    val routed =
+      if (!anySplit)
+        hashed.join(layoutDf, Seq("target"))
+          .filter(col("hs").isNotNull && size(col("hs")) > 0)
+          .select(shiftright(col("base"), 6).as("grp"), col("base"),
+            col("split"), col("hs"))
       else {
-        val byGrp = scala.collection.mutable.LinkedHashMap
-          .empty[Int, scala.collection.mutable.ArrayBuilder.ofLong]
-        var i = 0
-        while (i < hs.length) {
-          val bin = base + BinLayout.routeBin(hs(i), split)
-          byGrp.getOrElseUpdate(bin / 64,
-            new scala.collection.mutable.ArrayBuilder.ofLong) += hs(i)
-          i += 1
-        }
-        byGrp.iterator.map { case (g, b) => (g, b.result()) }.toArray
+        // per-(row x spanned-group) hash subsets, computed map-side so the
+        // one shuffle carries exactly the per-row-deduped hashes
+        val route = udf((hs: Array[Long], base: Int, split: Int) => {
+          if (hs == null || hs.isEmpty) Array.empty[(Int, Array[Long])]
+          else if (split == 1) Array((base / 64, hs))
+          else {
+            val byGrp = scala.collection.mutable.LinkedHashMap
+              .empty[Int, scala.collection.mutable.ArrayBuilder.ofLong]
+            var i = 0
+            while (i < hs.length) {
+              val bin = base + BinLayout.routeBin(hs(i), split)
+              byGrp.getOrElseUpdate(bin / 64,
+                new scala.collection.mutable.ArrayBuilder.ofLong) += hs(i)
+              i += 1
+            }
+            byGrp.iterator.map { case (g, b) => (g, b.result()) }.toArray
+          }
+        })
+        hashed
+          .join(layoutDf, Seq("target"))
+          .select(col("base"), col("split"),
+            explode(route(col("hs"), col("base"), col("split"))).as("r"))
+          .select(col("r._1").as("grp"), col("base"), col("split"),
+            col("r._2").as("hs"))
       }
-    })
-    val routed = hashed
-      .join(layoutDf, Seq("target"))
-      .select(col("base"), col("split"),
-        explode(route(col("hs"), col("base"), col("split"))).as("r"))
-      .select(col("r._1").as("grp"), col("base"), col("split"),
-        col("r._2").as("hs"))
     // enough groups -> exchange-free complete aggregation (one task per
     // group, zero partial blobs); few groups -> map-side partials are
     // cheap (numGroups x shardBytes per task) and keep input parallelism

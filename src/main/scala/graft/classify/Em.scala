@@ -76,6 +76,24 @@ object Em {
       .agg(collect_list(struct(intern(col("target")).as("tid"),
         col("kmer_count"), col("ord"))).as("ms"))
       .persist()
+    // primitive-array twin of multiReads for the E-step count jobs: the
+    // loop only needs per-target COUNTS, so it scans these compact rows
+    // map-side (no per-iteration UDF encode, no groupBy exchange) and the
+    // full (read_id, pick) assignment materializes exactly once after
+    // convergence — with the same probs the final iteration used
+    val compactRdd = multiReads.select(col("ms")).rdd.map { r =>
+      val ms = r.getSeq[Row](0)
+      val m = ms.length
+      val ts = new Array[Int](m); val cs = new Array[Long](m)
+      val os = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val e = ms(i)
+        ts(i) = e.getInt(0); cs(i) = e.getLong(1); os(i) = e.getLong(2)
+        i += 1
+      }
+      (ts, cs, os)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // init probs from unique counts (+1 smoothing so zero-unique targets
     // can still attract reads, as reassign.py's eps does)
@@ -115,55 +133,59 @@ object Em {
     }
 
     var assigned: DataFrame = null
-    // the returned (lazy) DataFrame still references the LAST broadcast, so
-    // only superseded iterations' broadcasts are destroyed
-    var liveB: org.apache.spark.broadcast.Broadcast[Array[Double]] = null
+    // probs the most recent EXECUTED iteration assigned with — the final
+    // materialized assignment must use these, not the post-update probs
+    var probsUsed: Array[Double] = null
     var iter = 0
     var diff = Double.MaxValue
     while (iter < maxIter && diff > threshold) {
       val pB = spark.sparkContext.broadcast(probs)
-      assigned = assign(pB)
-      // per-target counts. Two regimes, same answer:
-      // - SMALL |targets| (< 64k): groupBy + collect — map-side partial
-      //   agg, a few thousand collected Rows, and one fewer job than the
-      //   tree (measured ~1-2 s faster per q22 run at reference-test
-      //   scale).
-      // - LARGE |targets|: treeAggregate of DENSE per-partition arrays —
-      //   counting is map-side (no shuffle; the groupBy shuffled
-      //   |targets| partial rows per partition) and the driver merges a
-      //   handful of pre-combined arrays instead of boxing |targets|
-      //   Rows per iteration, which was the 10^7-target ceiling. The
-      //   array is 8 B x n per CONCURRENT partition-task, fine on
-      //   executors sized for the broadcast prob array of the same
-      //   shape; the null zero-value avoids serializing an n-length
-      //   array to every task. Measured 10^6 targets / 2x10^6 reads:
-      //   3 iterations in 27.6 s wall at local[8] (tools/EmScale).
-      val counts =
-        if (n < 65536) {
-          val c = new Array[Long](n)
-          assigned.groupBy("tid").agg(count(lit(1)).as("c"))
-            .collect().foreach(r => c(r.getInt(0)) = r.getLong(1))
-          c
-        } else {
-          val agg = assigned.select(col("tid")).as[Int].rdd
-            .treeAggregate(null: Array[Long])(
-              seqOp = (a0, t) => {
-                val a = if (a0 == null) new Array[Long](n) else a0
-                a(t) += 1; a
-              },
-              combOp = (a, b) =>
-                if (a == null) b
-                else if (b == null) a
-                else {
-                  var i = 0
-                  while (i < n) { a(i) += b(i); i += 1 }
-                  a
-                },
-              depth = 2)
-          if (agg == null) new Array[Long](n) else agg
+      probsUsed = probs
+      // per-target counts of this iteration's argmax assignment, computed
+      // DIRECTLY over the compact candidate rows: one map-side job per
+      // iteration folding picks into a dense Array[Long] — no per-read
+      // assignment row is encoded, shuffled or collected inside the loop
+      // (the old shape ran the pick UDF into a DataFrame and then a
+      // groupBy+collect per iteration; the assignment itself is only
+      // needed ONCE, after convergence). Two merge regimes, same answer:
+      // - SMALL |targets| (< 64k): rdd.aggregate — the driver merges
+      //   numPartitions dense arrays of n longs (tiny), one job, no
+      //   shuffle stage at all.
+      // - LARGE |targets|: treeAggregate depth 2, so the driver merges a
+      //   handful of pre-combined arrays instead of one per partition
+      //   (the 10^7-target shape; see tools/EmScale).
+      val seqOp = (a0: Array[Long],
+          row: (Array[Int], Array[Long], Array[Long])) => {
+        val a = if (a0 == null) new Array[Long](n) else a0
+        val p = pB.value
+        val (ts, cs, os) = row
+        var bt = -1; var bs = -1.0; var bo = Long.MaxValue
+        var i = 0
+        while (i < ts.length) {
+          val t = ts(i); val o = os(i)
+          val s = cs(i) * p(t)
+          val better = s > bs || (s == bs &&
+            (o < bo || (o == bo && (bt < 0 || t < bt))))
+          if (better) { bs = s; bt = t; bo = o }
+          i += 1
         }
-      if (liveB != null) liveB.destroy()
-      liveB = pB
+        if (bt >= 0) a(bt) += 1
+        a
+      }
+      val combOp = (a: Array[Long], b: Array[Long]) =>
+        if (a == null) b
+        else if (b == null) a
+        else {
+          var i = 0
+          while (i < n) { a(i) += b(i); i += 1 }
+          a
+        }
+      val agg =
+        if (n < 65536) compactRdd.aggregate(null: Array[Long])(seqOp, combOp)
+        else compactRdd.treeAggregate(null: Array[Long])(seqOp, combOp,
+          depth = 2)
+      val counts = if (agg == null) new Array[Long](n) else agg
+      pB.destroy()
       val newProbs = normalized(Array.tabulate(n)(t =>
         counts(t) + uniqueCounts(t) + 1.0))
       // L1 distance between consecutive normalized prob vectors — one pass
@@ -174,6 +196,13 @@ object Em {
       }
       probs = newProbs
       iter += 1
+    }
+    // materialize the assignment ONCE, with the probs the last executed
+    // iteration used — identical rows to materializing every iteration
+    var liveB: org.apache.spark.broadcast.Broadcast[Array[Double]] = null
+    if (iter > 0) {
+      liveB = spark.sparkContext.broadcast(probsUsed)
+      assigned = assign(liveB)
     }
     // restore string targets on the way out (one map-side lookup per
     // ASSIGNED read, not per candidate)
@@ -193,6 +222,7 @@ object Em {
       if (assigned == null)
         uniques.limit(0)
       else assigned)
+    compactRdd.unpersist()
     multiReads.unpersist(); matches.unpersist()
     tIdxB.destroy(); namesB.destroy()
     result
