@@ -196,22 +196,22 @@ object SketchStore {
       layout: String, ibfBytes: Array[Byte], dir: String, gen: Int,
       shardGens: Array[Int],
       ingestTag: Option[(String, Long)] = None): Unit = {
-    import spark.implicits._
+    // control-plane write: a handful of rows — direct driver parquet I/O
+    // (ParquetMeta), not a scheduled Spark job per file; the ~100 ms/job
+    // scheduler latency was the commit-latency floor for streaming ingest
     val conf = spark.sparkContext.hadoopConfiguration
     val gd = genDir(dir, gen)
-    val bins = db.targets.indices.map { i =>
-      (db.targets(i), db.targetHashes(i), db.layout.base(i), db.layout.split(i))
-    }.toDF("target", "n_hashes", "base", "split")
-    bins.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$gd/bins.parquet")
-    Seq((FormatVersion, gen, layout, db.params.k, db.params.w, db.params.seed,
-      db.params.maxFp, db.params.hllP, db.params.minContentLen,
-      db.params.sizingMode, db.plan.bitsPerBin, db.plan.numHashes,
-      db.plan.maxHashesBin, db.plan.numBins, shardGens, ibfBytes))
-      .toDF("version", "generation", "layout", "k", "w", "seed", "max_fp",
-        "hll_p", "min_content_len", "sizing_mode", "bits_per_bin",
-        "num_hashes", "max_hashes_bin", "num_bins", "shard_gens", "ibf")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$gd/manifest.parquet")
+    ParquetMeta.writeBins(conf, new Path(s"$gd/bins.parquet"),
+      db.targets.indices.map { i =>
+        (db.targets(i), db.targetHashes(i), db.layout.base(i),
+          db.layout.split(i))
+      })
+    ParquetMeta.writeManifestRow(conf, new Path(s"$gd/manifest.parquet"),
+      ParquetMeta.ManifestRow(FormatVersion, gen, layout, db.params.k,
+        db.params.w, db.params.seed, db.params.maxFp, db.params.hllP,
+        db.params.minContentLen, db.params.sizingMode, db.plan.bitsPerBin,
+        db.plan.numHashes, db.plan.maxHashesBin, db.plan.numBins, shardGens,
+        ibfBytes))
     writeIngestMarker(conf, dir, gen, ingestTag)
     commitCurrent(conf, dir, gen)
     releaseLock(conf, dir, gen)
@@ -531,29 +531,26 @@ object SketchStore {
           "commit; rebuild it")
     }
     val gd = genDir(dir, gen)
-    val m = spark.read.parquet(s"$gd/manifest.parquet").head()
-    val version = m.getAs[Int]("version")
-    require(version == FormatVersion, s"unsupported version $version")
+    // direct driver parquet reads (no Spark job per metadata file); the
+    // reader also handles directory-shaped metadata written by older
+    // df.write-based generations
+    val m = ParquetMeta.readManifestRow(conf,
+      new Path(s"$gd/manifest.parquet"))
+    require(m.version == FormatVersion, s"unsupported version ${m.version}")
     // hllP/minContentLen/sizingMode must round-trip too: update() on a
     // loaded db re-runs pass 1 with these params
-    val params = IbfParams(k = m.getAs[Int]("k"), w = m.getAs[Int]("w"),
-      seed = m.getAs[Long]("seed"), maxFp = m.getAs[Double]("max_fp"),
-      hllP = m.getAs[Int]("hll_p"),
-      minContentLen = m.getAs[Int]("min_content_len"),
-      sizingMode = m.getAs[String]("sizing_mode"))
-    val bins = spark.read.parquet(s"$gd/bins.parquet")
-      .collect().map(r => (r.getAs[String]("target"), r.getAs[Long]("n_hashes"),
-        r.getAs[Int]("base"), r.getAs[Int]("split")))
+    val params = IbfParams(k = m.k, w = m.w, seed = m.seed, maxFp = m.maxFp,
+      hllP = m.hllP, minContentLen = m.minContentLen,
+      sizingMode = m.sizingMode)
+    val bins = ParquetMeta.readBins(conf, new Path(s"$gd/bins.parquet"))
       .sortBy(_._3)
-    val numBins = m.getAs[Int]("num_bins")
+    val numBins = m.numBins
     val layout = BinLayout(bins.map(_._3), bins.map(_._4), numBins)
-    val plan = IbfPlan(numBins, m.getAs[Long]("bits_per_bin"),
-      m.getAs[Int]("num_hashes"), m.getAs[Long]("max_hashes_bin"),
-      Sizing2.maxFpOf(bins.map(_._2), m.getAs[Long]("max_hashes_bin"),
-        m.getAs[Long]("bits_per_bin"), m.getAs[Int]("num_hashes")))
+    val plan = IbfPlan(numBins, m.bitsPerBin, m.numHashes, m.maxHashesBin,
+      Sizing2.maxFpOf(bins.map(_._2), m.maxHashesBin, m.bitsPerBin,
+        m.numHashes))
     Manifest(params, layout, plan, bins.map(_._1), bins.map(_._2),
-      m.getAs[Array[Byte]]("ibf"), m.getAs[String]("layout"), gen,
-      m.getAs[scala.collection.Seq[Int]]("shard_gens").toArray)
+      m.ibf, m.layout, gen, m.shardGens)
   }
 
   /** Load either layout, dispatching on the manifest. */
@@ -694,12 +691,8 @@ object SketchStore {
     val needed = ((oldest to cur) ++ pinnedOld).flatMap { v =>
       val mp = new Path(s"${genDir(dir, v)}/manifest.parquet")
       if (!fs.exists(mp)) Nil
-      else {
-        val row = spark.read.parquet(mp.toString)
-          .select("shard_gens").head()
-        row.getAs[scala.collection.Seq[Int]]("shard_gens")
-          .zipWithIndex.map { case (gv, g) => (gv, g) }
-      }
+      else ParquetMeta.readManifestRow(conf, mp).shardGens
+        .zipWithIndex.map { case (gv, g) => (gv, g) }
     }.toSet
     var files = 0L
     var bytes = 0L
