@@ -225,10 +225,14 @@ object SketchStore {
   /** Write (or carry forward) the ingest-commit marker for `gen`. Runs
     * BEFORE the CURRENT flip, so the marker is atomic with the generation
     * it describes: a crash between a store commit and the stream's own
-    * checkpoint commit leaves a marker the replayed batch will see. A
+    * checkpoint commit leaves a marker the replayed batch will see. The
+    * marker holds ONE `id\tbatch` LINE PER ingestId (newest commit last),
+    * merged with the previous generation's entries on every write — two
+    * interleaved logical ingest streams each keep their own progress, so
+    * stream B's commit can never erase stream A's replay protection. A
     * non-ingest commit (manual update/compact/rebuild interleaved with an
     * ingest stream) COPIES the previous generation's marker forward, so
-    * `gen_<CURRENT>/` always holds the latest applied batch even when
+    * `gen_<CURRENT>/` always holds the latest applied batches even when
     * ingest generations have been gc'd. */
   private def writeIngestMarker(conf: Configuration, dir: String, gen: Int,
       tag: Option[(String, Long)]): Unit = {
@@ -238,9 +242,16 @@ object SketchStore {
       case Some((id, batch)) =>
         require(!id.contains('\t') && !id.contains('\n'),
           s"ingest id must not contain tab/newline: $id")
+        val prev =
+          if (gen > 1) readMarkerEntries(conf, ingestMarkerPath(dir, gen - 1))
+          else Nil
+        // carry every other id forward; this id's entry merges to the max
+        // applied batch and moves to the end (newest-commit-last order)
+        val merged = prev.filterNot(_._1 == id) :+
+          ((id, math.max(batch, prev.toMap.getOrElse(id, Long.MinValue))))
         val out = fs.create(dest, true)
-        try out.write(s"$id\t$batch".getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(merged.map { case (i, b) => s"$i\t$b" }.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       case None if gen > 1 =>
         val prev = ingestMarkerPath(dir, gen - 1)
@@ -255,23 +266,39 @@ object SketchStore {
     }
   }
 
+  private def readMarkerEntries(conf: Configuration,
+      p: Path): Seq[(String, Long)] = {
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Nil
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+          val i = line.lastIndexOf('\t')
+          if (i < 0) None else Some((line.substring(0, i),
+            line.substring(i + 1).toLong))
+        }
+    }
+  }
+
   /** The (ingestId, batchId) of the newest stream batch applied to this
-    * store, if any — [[graft.streaming.StreamClassify.ingestBatch]] skips
-    * a batch whose id is <= the recorded one for the same ingestId, making
-    * crash-replayed micro-batches no-ops (exactly-once store commits). */
+    * store, if any (the marker's last line). For the replay check itself
+    * use [[ingestCommits]] — the skip must be scoped to ITS OWN ingestId,
+    * or an interleaved second stream's commit would defeat it. */
   def lastIngestCommit(conf: Configuration, dir: String): Option[(String, Long)] =
     currentGeneration(conf, dir).flatMap { gen =>
-      val p = ingestMarkerPath(dir, gen)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) None
-      else {
-        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
-        val s = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
-        val i = s.lastIndexOf('\t')
-        if (i < 0) None else Some((s.substring(0, i), s.substring(i + 1).toLong))
-      }
+      readMarkerEntries(conf, ingestMarkerPath(dir, gen)).lastOption
+    }
+
+  /** Per-ingestId newest applied batch — one entry per logical ingest
+    * stream that ever committed to this store. */
+  def ingestCommits(conf: Configuration, dir: String): Map[String, Long] =
+    currentGeneration(conf, dir) match {
+      case None => Map.empty
+      case Some(gen) =>
+        readMarkerEntries(conf, ingestMarkerPath(dir, gen)).toMap
     }
 
   def save(spark: SparkSession, db: SketchDb, dir: String): Unit = {

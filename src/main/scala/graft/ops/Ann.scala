@@ -104,24 +104,63 @@ object Ann {
       if (blocks > 0) blocks
       else math.max(math.ceil(math.sqrt(2.0 * parts)).toInt,
         math.min(1024, math.ceil(n / 4096.0).toInt))
-    val blocked = v.withColumn("blk", pmod(col("id"), lit(b)).cast("int"))
+    // one grouped row per block (ids + vectors), decoded to primitive
+    // arrays ONCE PER CELL — the old row-level cell join re-materialized
+    // both vectors from Catalyst arrays through a UDF for every one of the
+    // O(n^2) pairs; here a cell's task converts |A|+|B| vectors and then
+    // runs the pair sweep as a pure float loop (guide §4.2: batch the
+    // boundary crossing, do the heavy lifting in tight native loops)
+    val grouped = v
+      .groupBy(pmod(col("id"), lit(b)).cast("int").as("blk"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("rows"))
     val cells = spark.range(b).select(col("id").cast("int").as("bi"))
       .join(spark.range(b).select(col("id").cast("int").as("bj")),
         col("bi") <= col("bj"))
-    val left = blocked.join(broadcast(cells), col("blk") === col("bi"))
-      .select(col("bi"), col("bj"), col("id").as("id_a"), col("vec").as("va"))
-    val right = blocked.select(col("blk").as("bj2"), col("id").as("id_b"),
-      col("vec").as("vb"))
-    val cos = udf((a: Array[Float], bv: Array[Float]) => dotNorm(a, bv))
+    val joined = grouped.join(broadcast(cells), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("rows").as("ra"))
+      .join(grouped.select(col("blk").as("bj2"), col("rows").as("rb")),
+        col("bj") === col("bj2"))
+      .select(col("bi"), col("bj"), col("ra"), col("rb"))
     // each unordered pair lands in exactly one cell: distinct blocks ->
     // the (min,max)-block cell with any id order; same block -> the
     // diagonal cell with id order. Output ids canonicalized (a < b).
-    left.join(right, col("bj") === col("bj2"))
-      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .filter(cos(col("va"), col("vb")) >= threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
+    import spark.implicits._
+    val pairs = joined.rdd.flatMap { r =>
+      def decode(s: scala.collection.Seq[org.apache.spark.sql.Row])
+          : (Array[Long], Array[Array[Float]]) = {
+        val m = s.length
+        val ids = new Array[Long](m)
+        val vs = new Array[Array[Float]](m)
+        var i = 0
+        s.foreach { e =>
+          ids(i) = e.getLong(0)
+          vs(i) = e.getSeq[Float](1).toArray
+          i += 1
+        }
+        (ids, vs)
+      }
+      val sameBlock = r.getInt(0) == r.getInt(1)
+      val (ia, va) = decode(r.getSeq(2))
+      val (ib, vb) = decode(r.getSeq(3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < ia.length) {
+        var j = 0
+        while (j < ib.length) {
+          // same-block (diagonal) cells pair by id order; cross-block
+          // cells take every distinct-id pair — identical predicates to
+          // the row-level join this replaces
+          if (if (sameBlock) ia(i) < ib(j) else ia(i) != ib(j)) {
+            if (dotNorm(va(i), vb(j)) >= threshold)
+              out += ((math.min(ia(i), ib(j)), math.max(ia(i), ib(j))))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+    pairs.toDF("id_a", "id_b")
   }
 
   /**

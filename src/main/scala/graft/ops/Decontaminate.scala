@@ -22,18 +22,36 @@ object Decontaminate {
 
   /** @return (doc_id, n_overlap, contaminated) for every training row;
     *         n_overlap = |distinct k-grams(train doc) ∩ distinct
-    *         k-grams(all eval docs)|. */
+    *         k-grams(all eval docs)|.
+    * @param maxEvalGrams driver-safety cap on the eval side's distinct
+    *        gram count: the eval-side-must-be-small contract made
+    *        explicit (same discipline as Ann.cosineNearDupPairs'
+    *        maxRows guard) — an accidentally huge "eval" frame (or
+    *        swapped train/eval arguments) fails with this message
+    *        instead of a driver OOM. 2^27 grams ≈ 1 GiB broadcast. */
   def overlap(spark: SparkSession, train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, k: Int = 8,
-      minOverlap: Int = 8): DataFrame = {
+      minOverlap: Int = 8, maxEvalGrams: Long = 1L << 27): DataFrame = {
     import spark.implicits._
     val gramsOf = (t: org.apache.spark.sql.Column) =>
       graft.spark.ShinglesExpr.col(coalesce(t, lit("")), k, k,
         graft.core.Hashing.DefaultSeed)
+    // cheap pre-count BEFORE the collect: the guard must fire before the
+    // driver materializes anything (an approx count would do, but the
+    // distinct set is computed anyway — count it distributed first)
+    val evalGramsDf = eval.select(explode(gramsOf(col(textCol))).as("g"))
+      .distinct()
+    val nEval = evalGramsDf.count()
+    require(nEval <= maxEvalGrams,
+      s"Decontaminate.overlap collects the EVAL side's distinct grams to " +
+        s"the driver and broadcasts them: $nEval distinct grams exceed " +
+        s"maxEvalGrams=$maxEvalGrams (~${nEval * 8 / (1 << 20)} MiB). The " +
+        "eval side must be the small benchmark set — check the argument " +
+        "order (train/eval swapped?), or raise maxEvalGrams if the driver " +
+        "really has the memory.")
     // eval grams: distinct across the whole eval set, sorted for
     // branch-free binary search on the hot path
-    val evalGrams = eval.select(explode(gramsOf(col(textCol))).as("g"))
-      .distinct().as[Long].collect().sorted
+    val evalGrams = evalGramsDf.as[Long].collect().sorted
     val egB = spark.sparkContext.broadcast(evalGrams)
     val countIn = udf((hs: Array[Long]) => {
       val eg = egB.value

@@ -177,6 +177,9 @@ object Dedup {
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint(true)
+    // the CHECKPOINTED frame of the current iteration — unpersist targets
+    // this (unpersisting a derived select would be a no-op)
+    var liveCk = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -190,6 +193,12 @@ object Dedup {
           least(col("rep"), coalesce(col("offer"), col("rep"))).as("rep"))
         .localCheckpoint(true)
       changed = next.filter(col("rep") < col("old")).count()
+      // the superseded iteration's checkpointed blocks are dead the moment
+      // `next` is materialized (eager checkpoint above) — release them, or
+      // a long-lived session accumulates one cached RDD per iteration
+      // (the final iteration's checkpoint stays live: the caller holds it)
+      liveCk.unpersist()
+      liveCk = next
       labels = next.select("id", "rep")
       it += 1
     }

@@ -410,6 +410,17 @@ object Jpeg {
             s"unsupported component count ${comps.length}")
           comps.foreach(c => require(c.hf >= 1 && c.hf <= 4 &&
             c.vf >= 1 && c.vf <= 4, s"bad sampling factors ${c.hf}x${c.vf}"))
+          // the chroma upsampler replicates by the integer ratio
+          // hMax/c.hf; a spec-legal NON-integer ratio (e.g. luma 3x1 with
+          // chroma 2x1) would truncate to a wrong factor and decode
+          // garbled pixels silently — reject like every other unsupported
+          // mode (the decoder's reject-don't-guess contract)
+          locally {
+            val hM = comps.map(_.hf).max; val vM = comps.map(_.vf).max
+            comps.foreach(c => require(hM % c.hf == 0 && vM % c.vf == 0,
+              s"unsupported non-integer sampling ratio: max ${hM}x$vM vs " +
+                s"component ${c.hf}x${c.vf}"))
+          }
           require(width.toLong * height * 3 <= Png.MaxRasterBytes,
             s"JPEG raster ${width}x$height exceeds the decode cap " +
               "(corrupt header?)")

@@ -336,8 +336,12 @@ object StreamClassify {
       s"gcKeepGens=$k: must keep >= 2 generations (one-batch live-reader " +
         "race; see ingestForeachBatch)"))
     val conf = spark.sparkContext.hadoopConfiguration
-    val applied = graft.io.SketchStore.lastIngestCommit(conf, storeDir)
-    if (applied.exists { case (id, b) => id == ingestId && b >= batchId })
+    // id-SCOPED replay check: the commit log records one entry per
+    // ingestId, so an interleaved second stream's commit cannot erase
+    // this stream's progress and let a crash-replay double-append
+    val applied = graft.io.SketchStore.ingestCommits(conf, storeDir)
+      .get(ingestId)
+    if (applied.exists(_ >= batchId))
       false // replay of an already-committed batch: the no-op exactly-once path
     else {
       val b = batch.persist()

@@ -101,6 +101,27 @@ class StoreOpsSpec extends AnyFunSuite {
       dir, P, batchId = 0L))
   }
 
+  test("ingest exactly-once: two INTERLEAVED ingest streams keep separate " +
+      "progress — a replay of stream A after stream B's commit is still " +
+      "skipped") {
+    val dir = freshDir("eodual")
+    assert(StreamClassify.ingestBatch(spark, batchDf(b0), "repo", "content",
+      dir, P, ingestId = "runA", batchId = 0L))
+    assert(StreamClassify.ingestBatch(spark, batchDf(b1), "repo", "content",
+      dir, P, ingestId = "runB", batchId = 0L))
+    // with the old single-slot marker, runB's commit erased runA's entry
+    // and this replay double-appended b0's targets
+    assert(!StreamClassify.ingestBatch(spark, batchDf(b0), "repo", "content",
+      dir, P, ingestId = "runA", batchId = 0L),
+      "stream A's replay must stay skipped after stream B's commit")
+    assert(SketchStore.ingestCommits(conf, dir) ===
+      Map("runA" -> 0L, "runB" -> 0L))
+    val probe = batchDf(b0 ++ b1)
+    val stored = SketchStore.loadTwoLevelLazy(spark, dir)
+    val fresh = SketchBuild.build(spark, probe, "repo", "content", P)
+    assert(matchesOf(stored, probe) == matchesOf(fresh, probe))
+  }
+
   test("ingestForeachBatch refuses gcKeepGens < 2 (one-batch reader race)") {
     val e = intercept[IllegalArgumentException] {
       StreamClassify.ingestForeachBatch(spark,
