@@ -736,11 +736,15 @@ object SketchBuild {
     // generic explode on the build hot path (guide §4: built-ins over
     // closures). Split layouts keep the per-hash routing UDF below;
     // either path feeds IbfShardAgg, which re-routes per hash anyway.
+    // NOTE: no row-level empty-hs filter here — a predicate on `hs` gets
+    // pushed through the shingle projection by substitution and re-runs
+    // the kernel per row (verified in the physical plan); empty slices
+    // are instead ignored by IbfShardAgg and never-fed groups drop via
+    // the null-shard filter after the aggregation.
     val anySplit = entries.exists(_._3 > 1)
     val routed =
       if (!anySplit)
         hashed.join(layoutDf, Seq("target"))
-          .filter(col("hs").isNotNull && size(col("hs")) > 0)
           .select(shiftright(col("base"), 6).as("grp"), col("base"),
             col("split"), col("hs"))
       else {
@@ -782,7 +786,11 @@ object SketchBuild {
         List(GraftFunctions.bloomSketch(col("hs"), coarseBits, coarseH)
           .as("coarse"))
        else Nil)
+    // a null shard marks a group that never received a non-empty slice
+    // (all its targets' content empty/filtered): drop it, preserving the
+    // untouched-group semantics (NoBlobGen sentinel / implicit empty)
     pre.groupBy("grp").agg(aggCols.head, aggCols.tail: _*)
+      .filter(col("shard").isNotNull)
   }
 
   /**

@@ -77,7 +77,13 @@ object SketchAggs {
     def zero: ShardBuf =
       new ShardBuf(-1, InterleavedBloom.empty(64, bitsPerBin, numHashes))
     def reduce(b: ShardBuf, in: ShardSlice): ShardBuf = {
-      if (in != null && in.hs != null) {
+      // empty slices leave grp at -1: a group fed ONLY empty hash sets
+      // finishes as null and its row is dropped post-agg — the same
+      // "untouched group" semantics the routing explode used to enforce
+      // row-side (the split-free fast path no longer filters rows, which
+      // would push a shingle-expression predicate through the projection
+      // and re-evaluate the kernel per row)
+      if (in != null && in.hs != null && in.hs.length > 0) {
         if (b.grp == -1) b.grp = in.grp
         val off = in.grp * 64
         var i = 0
@@ -100,7 +106,8 @@ object SketchAggs {
         x
       }
     }
-    def finish(b: ShardBuf): Array[Byte] = b.shard.toBytes
+    def finish(b: ShardBuf): Array[Byte] =
+      if (b.grp == -1) null else b.shard.toBytes
     def bufferEncoder: Encoder[ShardBuf] = Encoders.kryo[ShardBuf]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     def inputEncoder: Encoder[ShardSlice] = ExpressionEncoder[ShardSlice]()
