@@ -776,6 +776,9 @@ object SketchBuild {
     // enough groups -> exchange-free complete aggregation (one task per
     // group, zero partial blobs); few groups -> map-side partials are
     // cheap (numGroups x shardBytes per task) and keep input parallelism
+    // (coalescing the map side to the core count was measured neutral
+    // here — lz4 absorbs the duplicate partial buffers — and costs scan
+    // balance on SMT-capped cores, so input parallelism wins)
     val pre =
       if (numGroups >= parts) routed.repartition(numGroups, col("grp"))
       else routed

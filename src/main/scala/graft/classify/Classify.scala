@@ -182,7 +182,9 @@ object Classify {
 
     // rel-filter: keep count >= maxC - ceil((maxC - minC) * relFilter)
     val relThresh = maxC - math.ceil((maxC - minC) * cp.relFilter).toInt
-    val out = new scala.collection.mutable.ArrayBuffer[MatchRow](nSurv)
+    // nSurv bounds the survivors — exact-size scratch, no growable buffer
+    val out = new Array[MatchRow](nSurv)
+    var nOut = 0
     var disFilter = 0
     var disFpr = 0
     b = 0
@@ -194,23 +196,34 @@ object Classify {
           // reference computes q = 1 - sum_{i<=c} (GanonClassify.cpp:589-600),
           // so a full-containment match (c == n) always survives (q = 0)
           val q = MathFns.binomTailUpper(n.toLong, c + 1L, d.binFpr(b))
-          if (q <= cp.fprQuery) out += MatchRow(d.targets(b), c)
+          if (q <= cp.fprQuery) { out(nOut) = MatchRow(d.targets(b), c); nOut += 1 }
           else disFpr += 1
         } else disFilter += 1
       }
       b += 1
     }
-    if (out.isEmpty)
+    if (nOut == 0)
       return ReadResult(id, n, Array.empty, null, unique = false,
         skipped = false, disFilter, disFpr)
-    val matches = out.toArray
+    val matches = if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut)
     if (matches.length == 1)
       ReadResult(id, n, matches, matches(0).target, unique = true,
         skipped = false, disFilter, disFpr)
     else {
       val node = lca match {
         case Some(t) => t.lcaAll(matches.map(_.target).toSeq)
-        case None    => matches.maxBy(m => (m.count, m.target)).target
+        case None =>
+          // manual argmax by (count, target) — maxBy allocates a tuple
+          // per element on the per-read hot path
+          var best = matches(0)
+          var i = 1
+          while (i < matches.length) {
+            val m = matches(i)
+            if (m.count > best.count ||
+              (m.count == best.count && m.target > best.target)) best = m
+            i += 1
+          }
+          best.target
       }
       ReadResult(id, n, matches, node, unique = false, skipped = false,
         disFilter, disFpr)
