@@ -36,22 +36,21 @@ object Decontaminate {
     val gramsOf = (t: org.apache.spark.sql.Column) =>
       graft.spark.ShinglesExpr.col(coalesce(t, lit("")), k, k,
         graft.core.Hashing.DefaultSeed)
-    // cheap pre-count BEFORE the collect: the guard must fire before the
-    // driver materializes anything (an approx count would do, but the
-    // distinct set is computed anyway — count it distributed first)
-    val evalGramsDf = eval.select(explode(gramsOf(col(textCol))).as("g"))
-      .distinct()
-    val nEval = evalGramsDf.count()
-    require(nEval <= maxEvalGrams,
+    // guarded collect in ONE job: pull at most maxEvalGrams+1 rows — the
+    // driver never materializes more than the budget either way, and one
+    // extra row is enough to prove the contract was violated (a separate
+    // pre-count would cost a second job on every call)
+    val lim = math.min(maxEvalGrams + 1, (Int.MaxValue - 1).toLong).toInt
+    val evalGrams = eval.select(explode(gramsOf(col(textCol))).as("g"))
+      .distinct().limit(lim).as[Long].collect().sorted
+    require(evalGrams.length <= maxEvalGrams,
       s"Decontaminate.overlap collects the EVAL side's distinct grams to " +
-        s"the driver and broadcasts them: $nEval distinct grams exceed " +
-        s"maxEvalGrams=$maxEvalGrams (~${nEval * 8 / (1 << 20)} MiB). The " +
-        "eval side must be the small benchmark set — check the argument " +
-        "order (train/eval swapped?), or raise maxEvalGrams if the driver " +
-        "really has the memory.")
-    // eval grams: distinct across the whole eval set, sorted for
-    // branch-free binary search on the hot path
-    val evalGrams = evalGramsDf.as[Long].collect().sorted
+        s"the driver and broadcasts them: more than " +
+        s"maxEvalGrams=$maxEvalGrams distinct grams " +
+        s"(~${maxEvalGrams * 8 / (1 << 20)}+ MiB). The eval side must be " +
+        "the small benchmark set — check the argument order (train/eval " +
+        "swapped?), or raise maxEvalGrams if the driver really has the " +
+        "memory.")
     val egB = spark.sparkContext.broadcast(evalGrams)
     val countIn = udf((hs: Array[Long]) => {
       val eg = egB.value

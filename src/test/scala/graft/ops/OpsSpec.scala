@@ -320,6 +320,21 @@ class OpsSpec extends AnyFunSuite {
       (3L, 9L, true)))
   }
 
+  test("decontaminate: an over-budget eval side refuses with the " +
+      "eval-must-be-small contract message, never a driver OOM") {
+    val eval_ = Seq((100L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val train = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.overlap(spark, train, eval_, "doc_id", "text",
+        k = 8, minOverlap = 8, maxEvalGrams = 4) // 9 distinct grams > 4
+    }
+    assert(e.getMessage.contains("eval side must be the small"))
+    // at the default budget the same inputs pass (guard is one bounded
+    // collect, not a separate count job)
+    assert(Decontaminate.overlap(spark, train, eval_, "doc_id", "text",
+      k = 8, minOverlap = 8).count() == 1)
+  }
+
   test("multimodal: stub features have the right shape and determinism") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
