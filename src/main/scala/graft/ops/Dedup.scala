@@ -210,18 +210,31 @@ object Dedup {
       val offers = und
         .join(labels.withColumnRenamed("id", "a"), Seq("a"))
         .groupBy(col("b").as("id")).agg(min(col("rep")).as("offer"))
+      // the changed-label count piggybacks on the checkpoint
+      // materialization job via an accumulator (the separate
+      // filter+count used to cost one extra pass over the labels per
+      // iteration). Task retries can only OVERcount, which is safe for
+      // the convergence test: a retry of a zero-changed partition still
+      // adds zero, so `changed == 0` is never reported spuriously.
+      val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
+      val noteChanged = udf((c: Boolean) => { if (c) changedAcc.add(1L); true })
+        .asNondeterministic() // side effect: the optimizer must not clone it
       val next = labels.join(offers, Seq("id"), "left")
-        .select(col("id"), col("rep").as("old"),
-          least(col("rep"), coalesce(col("offer"), col("rep"))).as("rep"))
+        .select(col("id"),
+          least(col("rep"), coalesce(col("offer"), col("rep"))).as("rep"),
+          (least(col("rep"), coalesce(col("offer"), col("rep"))) <
+            col("rep")).as("ch"))
+        .filter(noteChanged(col("ch")))
+        .select("id", "rep")
         .localCheckpoint(true)
-      changed = next.filter(col("rep") < col("old")).count()
+      changed = changedAcc.value
       // the superseded iteration's checkpointed blocks are dead the moment
       // `next` is materialized (eager checkpoint above) — release them, or
       // a long-lived session accumulates one cached RDD per iteration
       // (the final iteration's checkpoint stays live: the caller holds it)
       liveCk.unpersist()
       liveCk = next
-      labels = next.select("id", "rep")
+      labels = next
       it += 1
     }
     und.unpersist()
