@@ -36,6 +36,19 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedup.minhash: threshold 1.0 (degenerate full-signature banding) " +
+      "emits exactly the J == 1 pairs — near-dups excluded, dups found") {
+    val base = (0 until 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (0 until 57).map(i => s"token$i").mkString(" ") + " x1 x2 x3"
+    val df = Seq((1L, base), (2L, nearDup), (3L, base), (4L, nearDup))
+      .toDF("id", "text")
+      .select($"id", GraftFunctions.tokenHashes($"text").as("hs"))
+    val pairs = Dedup.minhashPairs(spark, df, numPerms = 128, bands = 8,
+      threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 4L))) // J=0.9 cross pairs excluded
+  }
+
   test("dedup.minhash: null hash-set rows dedup together, no crash") {
     // null text -> null token-hash array -> empty-set signature (the old
     // UDF contract the MinhashSigExpr must preserve); the two null rows
