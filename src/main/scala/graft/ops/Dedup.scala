@@ -147,17 +147,20 @@ object Dedup {
         "simhash_dropped_bucket_members")
     // unlike minhash (whose verify payload is the full hash-set array),
     // the simhash verify payload is ONE long — attach it to both capped
-    // sides BEFORE the bucket self-join (broadcast joins over the small
-    // capped frames) and filter hamming INSIDE the join stage, so the
-    // correlated-band candidate blowup (3.2M pairs on the sf0.1 planted
-    // corpus) is cut to the survivors before any exchange — the old shape
-    // shuffled every candidate through a dropDuplicates and joined the
-    // simhashes back on afterwards
+    // sides BEFORE the bucket self-join and filter hamming INSIDE the
+    // join stage, so the correlated-band candidate blowup (3.2M pairs on
+    // the sf0.1 planted corpus) is cut to the survivors before any
+    // exchange — the old shape shuffled every candidate through a
+    // dropDuplicates and joined the simhashes back on afterwards. No
+    // broadcast HINT on sh: it is corpus-sized (16 B/doc) — the planner
+    // broadcasts it while it fits and falls back to a shuffle join of
+    // O(n) skinny rows at scale, where a forced broadcast would hit the
+    // 8 GB relation cap
     val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    val withA = cappedA.join(broadcast(sh)
-      .select(col("id"), col("simhash").as("sh_a")), Seq("id"))
-    val withB = cappedB.join(broadcast(sh)
-      .select(col("id"), col("simhash").as("sh_b")), Seq("id"))
+    val withA = cappedA.join(
+      sh.select(col("id"), col("simhash").as("sh_a")), Seq("id"))
+    val withB = cappedB.join(
+      sh.select(col("id"), col("simhash").as("sh_b")), Seq("id"))
     withA.as("x").join(withB.as("y"),
         col("x.b") === col("y.b") && col("x.id") < col("y.id"))
       .withColumn("hamming", ham(col("x.sh_a"), col("y.sh_b")))
